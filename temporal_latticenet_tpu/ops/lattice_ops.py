@@ -1,0 +1,268 @@
+"""Lattice compute ops: distribute (splat front-end), neighbor tables,
+lattice convolution, coarsen/finefy index maps and the deform-slice.
+
+These are the TPU-native equivalents of the external CUDA kernels the
+reference calls through ``latticenet_py`` wrappers:
+
+* distribute      -> ``DistributeLatticeModule`` (/root/reference/seq_lattice/models.py:297-298)
+* neighbor table + conv -> ``ConvLatticeModule`` / ``Im2RowLattice``
+                    (/root/reference/seq_lattice/lattice_modules.py:299-304,573)
+* coarsen/finefy  -> ``GnReluCoarsen`` / ``GnReluFinefy``
+                    (/root/reference/seq_lattice/models.py:182,214,353,398)
+* slice           -> ``SliceFastCUDALatticeModule`` (/root/reference/seq_lattice/models.py:465)
+
+Everything operates on static-capacity arrays with a traced occupancy count;
+compute maps onto gathers + MXU matmuls with no data-dependent shapes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from . import permutohedral as pm
+from .vertex_table import VertexTable, lookup, union_and_index
+
+
+@flax.struct.dataclass
+class DistributeOut:
+    """Result of splatting one frame's point cloud onto a vertex table.
+
+    Mirrors the tuple returned by the reference's distribute call
+    (``ls, distributed, indices, weights`` -- models.py:298) in masked,
+    static-shape form.  Row r of the flattened (P*(d+1)) arrays corresponds
+    to (point r // (d+1), simplex-vertex r % (d+1)).
+    """
+
+    row_vertex: jax.Array     # (P*(d+1),) int32 stable vertex index (0 = invalid)
+    row_bary: jax.Array       # (P*(d+1),) f32 barycentric weight (0 for invalid rows)
+    row_rel_pos: jax.Array    # (P*(d+1), d) f32 point xyz minus per-vertex mean xyz
+    row_valid: jax.Array      # (P*(d+1),) bool
+    point_vertex: jax.Array   # (P, d+1) int32 per-point simplex indices (for slice)
+    point_bary: jax.Array     # (P, d+1) f32 per-point barycentric weights
+
+
+def distribute(table: VertexTable, positions: jax.Array, point_mask: jax.Array,
+               sigma, subtract_local_mean: bool = True):
+    """Splat points onto the lattice, growing the vertex table append-only.
+
+    Args:
+      table: current-level VertexTable (carries across frames -- the
+        ``reset_hashmap=False`` semantics of models.py:286-289 fall out of
+        simply passing last frame's table back in).
+      positions: (P, d) f32, zero-padded.
+      point_mask: (P,) bool validity.
+      sigma: lattice scale (scalar or (d,)).
+      subtract_local_mean: the reference's default behaviour; disabled by the
+        ``pointnet_no_local_mean`` experiments (models.py:39).
+
+    Returns: (new_table, DistributeOut)
+    """
+    p, d = positions.shape
+    dp1 = d + 1
+
+    elevated = pm.elevate(positions, sigma)
+    keys, bary = pm.find_enclosing_simplex(elevated)     # (P, d+1, d), (P, d+1)
+
+    flat_keys = keys.reshape(p * dp1, d)
+    flat_valid = jnp.repeat(point_mask, dp1)
+    new_table, row_vertex = union_and_index(table, flat_keys, flat_valid)
+
+    row_valid = flat_valid & (row_vertex > 0)
+    row_bary = jnp.where(row_valid, bary.reshape(-1), 0.0)
+
+    # Per-vertex mean of contributing point positions ("local mean",
+    # cf. scatter_mean over indices in models.py:452-454).
+    cap = table.capacity
+    pos_rows = jnp.repeat(positions, dp1, axis=0)        # (P*(d+1), d)
+    w = row_valid.astype(jnp.float32)
+    if subtract_local_mean:
+        sums = jax.ops.segment_sum(pos_rows * w[:, None], row_vertex, num_segments=cap)
+        cnts = jax.ops.segment_sum(w, row_vertex, num_segments=cap)
+        mean = sums / jnp.maximum(cnts, 1.0)[:, None]
+        rel = pos_rows - mean[row_vertex]
+    else:
+        rel = pos_rows
+    rel = rel * w[:, None]
+
+    out = DistributeOut(
+        row_vertex=row_vertex,
+        row_bary=row_bary,
+        row_rel_pos=rel,
+        row_valid=row_valid,
+        point_vertex=row_vertex.reshape(p, dp1),
+        point_bary=row_bary.reshape(p, dp1),
+    )
+    return new_table, out
+
+
+class NeighborTable(NamedTuple):
+    """One-hop adjacency of every vertex in a table.
+
+    ``idx[:, :2(d+1)]`` are the one-hop neighbors (0 where absent),
+    ``idx[:, -1]`` is the vertex itself (the reference's im2row places the
+    center LAST -- lattice_modules.py:320,327).
+    """
+
+    idx: jax.Array    # (C, 2(d+1)+1) int32 stable indices
+    found: jax.Array  # (C, 2(d+1)+1) bool
+
+
+def build_neighbor_table(table: VertexTable) -> NeighborTable:
+    """Batched binary-search of all +/- offset keys; one per level per frame.
+
+    Replaces the per-conv CUDA neighborhood walk; all convolutions and the
+    AFlow module at a given level reuse the same table within a frame.
+    """
+    cap, d = table.keys.shape
+    offs = jnp.asarray(pm.neighbor_offsets(d))            # (2(d+1), d)
+    n_off = offs.shape[0]
+
+    queries = (table.keys[:, None, :] + offs[None, :, :]).reshape(cap * n_off, d)
+    # Rows with sentinel keys overflow on +offs; lookup guards via equality,
+    # but ensure we never wrap around int32: sentinel + small offset stays huge.
+    nbr = lookup(table, queries).reshape(cap, n_off)
+
+    valid_self = table.keys[:, 0] != jnp.int32(2**31 - 1)
+    self_idx = jnp.arange(cap, dtype=jnp.int32)
+    idx = jnp.concatenate([jnp.maximum(nbr, 0), self_idx[:, None]], axis=1)
+    found = jnp.concatenate(
+        [nbr >= 0, valid_self[:, None]], axis=1)
+    found &= valid_self[:, None]
+    return NeighborTable(idx=idx, found=found)
+
+
+def mask_rows(values: jax.Array, count) -> jax.Array:
+    """Zero all rows >= count and the reserved row 0.
+
+    The core cleanliness invariant: vertex-value arrays are exactly zero
+    outside the occupied range so convolution gathers, group-norm statistics
+    and temporal fusion never see garbage.  Zeroing row 0 reproduces the
+    reference's invalid-bucket zeroing (lattice_modules.py:569-570).
+    """
+    cap = values.shape[0]
+    rows = jnp.arange(cap, dtype=jnp.int32)
+    keep = (rows < count) & (rows > 0)
+    return jnp.where(keep[:, None], values, 0.0)
+
+
+def gather_rowified(values: jax.Array, nbr: NeighborTable) -> jax.Array:
+    """Im2row: (C, K*Cin) matrix of each vertex's neighborhood features.
+
+    Missing neighbors contribute zeros (the CUDA im2row's behaviour for
+    -1 indices).  ``values`` must satisfy the mask_rows invariant.
+    """
+    cap = values.shape[0]
+    g = values[nbr.idx]                                  # (C, K, Cin)
+    g = g * nbr.found[..., None]
+    return g.reshape(cap, -1)
+
+
+def lattice_conv(values: jax.Array, nbr: NeighborTable, weight: jax.Array,
+                 count, bias: jax.Array | None = None) -> jax.Array:
+    """One-hop lattice convolution: gather -> (C, K*Cin) @ (K*Cin, Cout).
+
+    The direct analog of ``ConvLatticeModule`` (im2row + matmul,
+    lattice_modules.py:299-301,573) as a single MXU contraction.
+    """
+    rows = gather_rowified(values, nbr)
+    out = jnp.dot(rows, weight, preferred_element_type=jnp.float32)
+    if bias is not None:
+        out = out + bias
+    return mask_rows(out, count)
+
+
+# ---------------------------------------------------------------------------
+# Coarsen / finefy
+# ---------------------------------------------------------------------------
+
+def coarse_candidate_keys(fine_table: VertexTable):
+    """Coarse-level key for every fine vertex: round(key/2) to the nearest
+    lattice point.
+
+    A fine vertex's key IS its elevated position, so key*0.5 is a point on
+    the coarse hyperplane; we take the max-barycentric (nearest) corner of
+    its enclosing simplex.  This reproduces the reference's "divide keys by
+    2" downsampling rule (LatticeNet, arXiv 1912.05905; invoked through
+    GnReluCoarsen at models.py:353) in a form that is exact for even keys
+    and nearest-vertex for odd ones.
+    """
+    cap, d = fine_table.keys.shape
+    valid = fine_table.keys[:, 0] != jnp.int32(2**31 - 1)
+    key_f = jnp.where(valid[:, None], fine_table.keys, 0).astype(jnp.float32)
+    full = jnp.concatenate([key_f, -key_f.sum(-1, keepdims=True)], axis=-1)
+    half = full * 0.5
+    ckeys, cbary = pm.find_enclosing_simplex(half)       # (C, d+1, d), (C, d+1)
+    best = jnp.argmax(cbary, axis=-1)
+    nearest = jnp.take_along_axis(ckeys, best[:, None, None], axis=1)[:, 0, :]
+    return nearest, valid
+
+
+def grow_coarse_table(fine_table: VertexTable, coarse_table: VertexTable):
+    """Union the fine level's coarse parents into the (carried) coarse table.
+
+    Returns (new_coarse_table, fine_to_coarse (Cf,) int32).  Append-only, so
+    coarse vertex indices are stable across frames -- strictly stronger than
+    the reference's fresh-per-frame CUDA hashtable, whose stability relied on
+    deterministic insert order (see SURVEY.md 3.3 discussion).
+    """
+    nearest, valid = coarse_candidate_keys(fine_table)
+    new_coarse, fine_to_coarse = union_and_index(coarse_table, nearest, valid)
+    return new_coarse, fine_to_coarse
+
+
+def coarsen_queries(coarse_table: VertexTable, fine_table: VertexTable) -> NeighborTable:
+    """Neighbor table for the coarsen conv: coarse vertex 2K gathers the
+    one-hop fine neighborhood of 2K (plus 2K itself, center last)."""
+    cap, d = coarse_table.keys.shape
+    offs = jnp.asarray(pm.neighbor_offsets(d))
+    n_off = offs.shape[0]
+    valid = coarse_table.keys[:, 0] != jnp.int32(2**31 - 1)
+    base = jnp.where(valid[:, None], coarse_table.keys * 2, jnp.int32(2**31 - 1))
+
+    queries = (base[:, None, :] + offs[None, :, :]).reshape(cap * n_off, d)
+    nbr = lookup(fine_table, queries).reshape(cap, n_off)
+    center = lookup(fine_table, base)
+
+    idx = jnp.concatenate([jnp.maximum(nbr, 0), jnp.maximum(center, 0)[:, None]], axis=1)
+    found = jnp.concatenate([nbr >= 0, (center >= 0)[:, None]], axis=1)
+    found &= valid[:, None]
+    return NeighborTable(idx=idx, found=found)
+
+
+def finefy_queries(fine_table: VertexTable, coarse_table: VertexTable) -> NeighborTable:
+    """Neighbor table for the finefy (transposed) conv: fine vertex k gathers
+    the one-hop coarse neighborhood of its nearest coarse parent round(k/2)."""
+    cap, d = fine_table.keys.shape
+    offs = jnp.asarray(pm.neighbor_offsets(d))
+    n_off = offs.shape[0]
+    nearest, valid = coarse_candidate_keys(fine_table)
+    base = jnp.where(valid[:, None], nearest, jnp.int32(2**31 - 1))
+
+    queries = (base[:, None, :] + offs[None, :, :]).reshape(cap * n_off, d)
+    nbr = lookup(coarse_table, queries).reshape(cap, n_off)
+    center = lookup(coarse_table, base)
+
+    idx = jnp.concatenate([jnp.maximum(nbr, 0), jnp.maximum(center, 0)[:, None]], axis=1)
+    found = jnp.concatenate([nbr >= 0, (center >= 0)[:, None]], axis=1)
+    found &= valid[:, None]
+    return NeighborTable(idx=idx, found=found)
+
+
+# ---------------------------------------------------------------------------
+# Slice
+# ---------------------------------------------------------------------------
+
+def slice_gather(values: jax.Array, point_vertex: jax.Array,
+                 point_bary: jax.Array) -> jax.Array:
+    """Barycentric slice-back: per point, gather its d+1 simplex-vertex
+    features weighted by (possibly deformed) barycentric weights.
+
+    Invalid rows have bary 0 and index 0 (whose features are zero), so no
+    extra masking is needed.
+    """
+    g = values[point_vertex]                             # (P, d+1, C)
+    return jnp.einsum("pvc,pv->pc", g, point_bary)
