@@ -1,0 +1,134 @@
+"""PointNet splat head: per-point-row MLP, segment-max reduction to vertices,
+early temporal fusion and the first lattice convolution.
+
+Mirrors ``PointNetSeqModule`` (/root/reference/seq_lattice/lattice_modules.py:343-576)
+including its quirks:
+
+* the barycentric column is dropped from the MLP input (:448-452) but the
+  weights selected by the per-channel argmax of the scatter-max are
+  concatenated back per vertex (:512-525);
+* vertices touched by fewer than 4 point-rows are zeroed (:527-530), except
+  when the early fusion is maxpool;
+* for early maxpool fusion, vertex rows untouched by the current cloud are
+  pre-filled with -9900 so the previous frame wins the max (:555-563);
+* row 0 (the invalid bucket) is zeroed before the final conv (:569-570);
+* ``experiment`` ablations: splat / attention_pool / pointnet_no_elevate*
+  (:455-510; valid set models.py:39).
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig
+from ..ops import lattice_ops as lo
+from ..ops import segment as seg
+from ..ops.lattice_ops import DistributeOut, NeighborTable
+from .blocks import GnRelu1x1, LatticeConv, _uniform
+from .fusion import make_fusion
+
+
+def _kaiming_normal_fan_in(fan_in):
+    std = math.sqrt(2.0 / fan_in)
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.normal(key, shape, dtype) * std
+    return init
+
+
+class PointNetSeq(nn.Module):
+    """See module docstring.  ``cfg.pointnet_layers`` e.g. (16, 32, 64)."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, dist: DistributeOut, values_rows: jax.Array,
+                 nbr: NeighborTable, count, h_early, prev_count, is_first,
+                 deterministic=True):
+        """Args:
+          dist: DistributeOut of the current frame (level 0).
+          values_rows: (R, V) per-row point feature values (reflectance etc.).
+          nbr: level-0 neighbor table.
+          count: level-0 vertex count.
+          h_early / prev_count / is_first: early-fusion state.
+
+        Returns (lv (cap, start_nr_channels), new_h_early).
+        """
+        cfg = self.cfg
+        experiment = cfg.experiment
+        cap = nbr.idx.shape[0]
+        rid = dist.row_vertex
+        rvalid = dist.row_valid
+
+        x = jnp.concatenate([dist.row_rel_pos, values_rows], axis=-1)
+        if experiment == "attention_pool":
+            x = jnp.concatenate([x, dist.row_bary[:, None]], axis=-1)
+
+        no_elevate = experiment in (
+            "pointnet_no_elevate", "pointnet_no_elevate_no_local_mean", "splat")
+        if not no_elevate:
+            for i, width in enumerate(cfg.pointnet_layers):
+                fan_in = x.shape[-1]
+                k = self.param(f"layers_{i}_kernel", _kaiming_normal_fan_in(fan_in),
+                               (fan_in, width))
+                b = self.param(f"layers_{i}_bias", _uniform(1.0 / math.sqrt(fan_in)),
+                               (width,))
+                x = jnp.dot(x, k, preferred_element_type=jnp.float32) + b
+                if i < len(cfg.pointnet_layers) - 1:
+                    x = jax.nn.relu(x)
+
+        counts = jax.ops.segment_sum(rvalid.astype(jnp.float32), rid,
+                                     num_segments=cap)
+
+        if experiment == "splat":
+            reduced = seg.segment_mean(x, rid, cap, rvalid)
+            reduced = jnp.where((counts > 0)[:, None], reduced, 0.0)
+        elif experiment == "attention_pool":
+            mx, _ = seg.segment_max_with_argmax(x, rid, cap, rvalid)
+            gamma = self.param("gamma", nn.initializers.ones, (x.shape[-1],))
+            xm = x + gamma * mx[rid]
+            fan_in = xm.shape[-1]
+            pk = self.param("pre_conv_kernel", _kaiming_normal_fan_in(fan_in),
+                            (fan_in, fan_in))
+            pre = jnp.dot(xm, pk, preferred_element_type=jnp.float32)
+            # the attention branch's GnRelu1x1s operate on point-rows in the
+            # reference; here rows are points too (vertex norm stats replaced
+            # by row stats via count=R mask-free normalisation)
+            act = GnRelu1x1(fan_in, False, name="att_activ")(pre, pre.shape[0])
+            sc = GnRelu1x1(fan_in, True, name="att_scores")(act, act.shape[0])
+            sc = jnp.exp(sc) * rvalid[:, None]
+            ssum = jax.ops.segment_sum(sc, rid, num_segments=cap)
+            sc = sc / jnp.maximum(ssum[rid], 1e-12)
+            reduced = jax.ops.segment_sum(x * sc, rid, num_segments=cap)
+            reduced = jnp.where((counts >= 4)[:, None], reduced, 0.0)
+        else:
+            mx, arg = seg.segment_max_with_argmax(x, rid, cap, rvalid)
+            bary_sel = jnp.where(arg >= 0, dist.row_bary[jnp.maximum(arg, 0)], 0.0)
+            reduced = jnp.concatenate([mx, bary_sel], axis=-1)
+            is_early_maxpool = (cfg.sequence_learning
+                                and cfg.rnn_modules[0] == "maxpool")
+            if not is_early_maxpool:
+                reduced = jnp.where((counts >= 4)[:, None], reduced, 0.0)
+
+        # ---- early temporal fusion -------------------------------------
+        new_h = h_early
+        if cfg.sequence_learning and cfg.rnn_modules[0] != "none":
+            fusion = make_fusion(cfg.rnn_modules[0], cfg.early_channels, cfg,
+                                 name="fusion_module")
+            if cfg.rnn_modules[0] == "maxpool":
+                # pre-fill untouched rows so the previous frame wins the max
+                half = reduced.shape[-1] // 2
+                rowsum = jnp.sum(jnp.abs(reduced[:, :half]), axis=-1,
+                                 keepdims=True)
+                reduced = jnp.where(rowsum == 0.0, -9900.0, reduced)
+            reduced, new_h = fusion(reduced, h_early, prev_count, count,
+                                    is_first, nbr)
+
+        reduced = lo.mask_rows(reduced, count)  # zero the invalid bucket
+
+        lv = LatticeConv(cfg.pointnet_start_nr_channels, use_bias=False,
+                         name="last_conv")(reduced, nbr, count)
+        return lv, new_h

@@ -179,77 +179,63 @@ def lattice_conv(values: jax.Array, nbr: NeighborTable, weight: jax.Array,
 # Coarsen / finefy
 # ---------------------------------------------------------------------------
 
-def coarse_candidate_keys(fine_table: VertexTable):
-    """Coarse-level key for every fine vertex: round(key/2) to the nearest
-    lattice point.
+@flax.struct.dataclass
+class LevelLink:
+    """Barycentric coupling between a fine level and the next coarser one.
 
-    A fine vertex's key IS its elevated position, so key*0.5 is a point on
-    the coarse hyperplane; we take the max-barycentric (nearest) corner of
-    its enclosing simplex.  This reproduces the reference's "divide keys by
-    2" downsampling rule (LatticeNet, arXiv 1912.05905; invoked through
-    GnReluCoarsen at models.py:353) in a form that is exact for even keys
-    and nearest-vertex for odd ones.
+    A fine vertex's key IS its elevated position, so key*0.5 lies on the
+    coarse hyperplane; its enclosing coarse simplex gives d+1 corner indices
+    and weights.  Downsampling splats through this link, upsampling slices
+    back through it -- the TPU-native form of the reference's "divide the
+    keys by 2" rule (LatticeNet, arXiv 1912.05905; applied through
+    GnReluCoarsen/GnReluFinefy at models.py:353,398).  Unlike a one-hop
+    gather around 2K (which cannot reach parents in mismatched remainder
+    classes), the simplex coupling covers every fine vertex exactly.
     """
-    cap, d = fine_table.keys.shape
-    valid = fine_table.keys[:, 0] != jnp.int32(2**31 - 1)
-    key_f = jnp.where(valid[:, None], fine_table.keys, 0).astype(jnp.float32)
-    full = jnp.concatenate([key_f, -key_f.sum(-1, keepdims=True)], axis=-1)
-    half = full * 0.5
-    ckeys, cbary = pm.find_enclosing_simplex(half)       # (C, d+1, d), (C, d+1)
-    best = jnp.argmax(cbary, axis=-1)
-    nearest = jnp.take_along_axis(ckeys, best[:, None, None], axis=1)[:, 0, :]
-    return nearest, valid
+
+    corner_idx: jax.Array    # (Cf, d+1) int32 coarse stable indices
+    corner_bary: jax.Array   # (Cf, d+1) f32 weights (0 rows for invalid fine)
 
 
 def grow_coarse_table(fine_table: VertexTable, coarse_table: VertexTable):
-    """Union the fine level's coarse parents into the (carried) coarse table.
+    """Union every fine vertex's coarse-simplex corners into the (carried)
+    coarse table and return the coupling.
 
-    Returns (new_coarse_table, fine_to_coarse (Cf,) int32).  Append-only, so
-    coarse vertex indices are stable across frames -- strictly stronger than
-    the reference's fresh-per-frame CUDA hashtable, whose stability relied on
-    deterministic insert order (see SURVEY.md 3.3 discussion).
+    Append-only, so coarse vertex indices are stable across frames --
+    strictly stronger than the reference's fresh-per-frame CUDA hashtable,
+    whose stability relied on deterministic insert order (SURVEY.md 3.3).
     """
-    nearest, valid = coarse_candidate_keys(fine_table)
-    new_coarse, fine_to_coarse = union_and_index(coarse_table, nearest, valid)
-    return new_coarse, fine_to_coarse
-
-
-def coarsen_queries(coarse_table: VertexTable, fine_table: VertexTable) -> NeighborTable:
-    """Neighbor table for the coarsen conv: coarse vertex 2K gathers the
-    one-hop fine neighborhood of 2K (plus 2K itself, center last)."""
-    cap, d = coarse_table.keys.shape
-    offs = jnp.asarray(pm.neighbor_offsets(d))
-    n_off = offs.shape[0]
-    valid = coarse_table.keys[:, 0] != jnp.int32(2**31 - 1)
-    base = jnp.where(valid[:, None], coarse_table.keys * 2, jnp.int32(2**31 - 1))
-
-    queries = (base[:, None, :] + offs[None, :, :]).reshape(cap * n_off, d)
-    nbr = lookup(fine_table, queries).reshape(cap, n_off)
-    center = lookup(fine_table, base)
-
-    idx = jnp.concatenate([jnp.maximum(nbr, 0), jnp.maximum(center, 0)[:, None]], axis=1)
-    found = jnp.concatenate([nbr >= 0, (center >= 0)[:, None]], axis=1)
-    found &= valid[:, None]
-    return NeighborTable(idx=idx, found=found)
-
-
-def finefy_queries(fine_table: VertexTable, coarse_table: VertexTable) -> NeighborTable:
-    """Neighbor table for the finefy (transposed) conv: fine vertex k gathers
-    the one-hop coarse neighborhood of its nearest coarse parent round(k/2)."""
     cap, d = fine_table.keys.shape
-    offs = jnp.asarray(pm.neighbor_offsets(d))
-    n_off = offs.shape[0]
-    nearest, valid = coarse_candidate_keys(fine_table)
-    base = jnp.where(valid[:, None], nearest, jnp.int32(2**31 - 1))
+    dp1 = d + 1
+    valid = fine_table.keys[:, 0] != jnp.int32(2**31 - 1)
+    key_f = jnp.where(valid[:, None], fine_table.keys, 0).astype(jnp.float32)
+    full = jnp.concatenate([key_f, -key_f.sum(-1, keepdims=True)], axis=-1)
+    ckeys, cbary = pm.find_enclosing_simplex(full * 0.5)   # (Cf, d+1, d)
 
-    queries = (base[:, None, :] + offs[None, :, :]).reshape(cap * n_off, d)
-    nbr = lookup(coarse_table, queries).reshape(cap, n_off)
-    center = lookup(coarse_table, base)
+    flat_keys = ckeys.reshape(cap * dp1, d)
+    flat_valid = jnp.repeat(valid, dp1)
+    new_coarse, flat_idx = union_and_index(coarse_table, flat_keys, flat_valid)
 
-    idx = jnp.concatenate([jnp.maximum(nbr, 0), jnp.maximum(center, 0)[:, None]], axis=1)
-    found = jnp.concatenate([nbr >= 0, (center >= 0)[:, None]], axis=1)
-    found &= valid[:, None]
-    return NeighborTable(idx=idx, found=found)
+    corner_idx = flat_idx.reshape(cap, dp1)
+    corner_bary = jnp.where(valid[:, None] & (corner_idx > 0), cbary, 0.0)
+    return new_coarse, LevelLink(corner_idx=corner_idx, corner_bary=corner_bary)
+
+
+def splat_to_coarse(fine_values: jax.Array, link: LevelLink,
+                    coarse_cap: int) -> jax.Array:
+    """Barycentric splat of fine vertex features onto the coarse level."""
+    cf, dp1 = link.corner_idx.shape
+    contrib = fine_values[:, None, :] * link.corner_bary[..., None]
+    flat = contrib.reshape(cf * dp1, -1)
+    ids = link.corner_idx.reshape(-1)
+    return jax.ops.segment_sum(flat, ids, num_segments=coarse_cap)
+
+
+def slice_to_fine(coarse_values: jax.Array, link: LevelLink) -> jax.Array:
+    """Barycentric slice of coarse vertex features back onto fine vertices
+    (the transpose of splat_to_coarse)."""
+    g = coarse_values[link.corner_idx]                    # (Cf, d+1, C)
+    return jnp.einsum("fvc,fv->fc", g, link.corner_bary)
 
 
 # ---------------------------------------------------------------------------

@@ -1,14 +1,24 @@
 """Test configuration: force the CPU backend with 8 virtual devices so
 multi-chip sharding tests run without TPU hardware (the JAX-idiomatic fake
-backend, see SURVEY.md section 4)."""
+backend, see SURVEY.md section 4).
+
+Note: this environment pre-imports jax at interpreter startup (an axon
+sitecustomize that calls ``jax.config.update("jax_platforms", "axon,cpu")``),
+so plain JAX_PLATFORMS env vars are overridden; we must update the config
+after import, before any backend is initialised.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
 
 import numpy as np
 import pytest

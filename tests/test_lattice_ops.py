@@ -1,0 +1,209 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from temporal_latticenet_tpu.ops import lattice_ops as lo
+from temporal_latticenet_tpu.ops import segment as seg
+from temporal_latticenet_tpu.ops import vertex_table as vt
+
+SIGMA = 0.6
+
+
+def _cloud(rng, n, scale=5.0):
+    return jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32) * scale)
+
+
+def test_distribute_basic(rng):
+    pos = _cloud(rng, 64)
+    mask = jnp.ones(64, bool)
+    t = vt.make_table(1024, 3)
+    t, out = lo.distribute(t, pos, mask, SIGMA)
+
+    assert int(t.count) > 1
+    rv = np.asarray(out.row_vertex)
+    assert (rv[np.asarray(out.row_valid)] > 0).all()
+    # each point's 4 bary weights sum to 1
+    np.testing.assert_allclose(np.asarray(out.point_bary).sum(-1), 1.0, atol=1e-4)
+
+
+def test_distribute_masked_points_do_not_insert(rng):
+    pos = _cloud(rng, 32)
+    mask = jnp.asarray(np.arange(32) < 16)
+    t0 = vt.make_table(1024, 3)
+    t_half, out = lo.distribute(t0, pos, mask, SIGMA)
+    t_full, _ = lo.distribute(t0, pos, jnp.ones(32, bool), SIGMA)
+    assert int(t_half.count) < int(t_full.count)
+    rv = np.asarray(out.point_vertex)
+    assert (rv[16:] == 0).all()
+    assert (np.asarray(out.point_bary)[16:] == 0).all()
+
+
+def test_distribute_append_only_across_frames(rng):
+    t = vt.make_table(4096, 3)
+    posA = _cloud(rng, 128)
+    t, outA = lo.distribute(t, posA, jnp.ones(128, bool), SIGMA)
+    cA = int(t.count)
+
+    posB = _cloud(rng, 128) + 3.0
+    t, outB = lo.distribute(t, posB, jnp.ones(128, bool), SIGMA)
+    assert int(t.count) >= cA
+
+    # re-splatting frame A's points reuses the exact same indices
+    t2, outA2 = lo.distribute(t, posA, jnp.ones(128, bool), SIGMA)
+    np.testing.assert_array_equal(
+        np.asarray(outA2.point_vertex), np.asarray(outA.point_vertex))
+    assert int(t2.count) == int(t.count)
+
+
+def test_splat_slice_roundtrip_constant(rng):
+    """Splatting a constant field and slicing back must reproduce it exactly
+    (barycentric partition of unity)."""
+    pos = _cloud(rng, 128)
+    t = vt.make_table(4096, 3)
+    t, out = lo.distribute(t, pos, jnp.ones(128, bool), SIGMA)
+
+    values = jnp.zeros((4096, 2)).at[:, 0].set(7.5).at[:, 1].set(-2.0)
+    values = jnp.where((jnp.arange(4096) > 0)[:, None], values, 0.0)
+    sliced = lo.slice_gather(values, out.point_vertex, out.point_bary)
+    np.testing.assert_allclose(np.asarray(sliced)[:, 0], 7.5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sliced)[:, 1], -2.0, atol=1e-3)
+
+
+def test_splat_slice_roundtrip_linear(rng):
+    """A linear function of the elevated coordinates is reproduced exactly by
+    barycentric interpolation of its vertex samples."""
+    pos = _cloud(rng, 64)
+    t = vt.make_table(4096, 3)
+    t, out = lo.distribute(t, pos, jnp.ones(64, bool), SIGMA)
+
+    # sample f(key) = a . key at each vertex
+    a = jnp.asarray([0.3, -1.2, 0.7])
+    valid = t.keys[:, 0] != vt.SENTINEL
+    f = jnp.where(valid, t.keys.astype(jnp.float32) @ a, 0.0)[:, None]
+    f = lo.mask_rows(f, t.count)
+
+    sliced = lo.slice_gather(f, out.point_vertex, out.point_bary)
+
+    from temporal_latticenet_tpu.ops import permutohedral as pm
+    elev = pm.elevate(pos, SIGMA)
+    want = elev[:, :3] @ a
+    np.testing.assert_allclose(np.asarray(sliced)[:, 0], np.asarray(want),
+                               atol=5e-2, rtol=1e-3)
+
+
+def test_neighbor_table_symmetry(rng):
+    pos = _cloud(rng, 256, scale=2.0)
+    t = vt.make_table(4096, 3)
+    t, _ = lo.distribute(t, pos, jnp.ones(256, bool), SIGMA)
+    nbr = lo.build_neighbor_table(t)
+    idx, found = np.asarray(nbr.idx), np.asarray(nbr.found)
+    cnt = int(t.count)
+
+    # center column: self, always found for occupied slots (except slot 0)
+    np.testing.assert_array_equal(idx[1:cnt, -1], np.arange(1, cnt))
+    assert found[1:cnt, -1].all()
+    assert not found[0].any()
+    assert not found[cnt:].any()
+
+    # symmetry: neighbor via +o_k has us as its -o_k neighbor
+    for v in range(1, cnt):
+        for k in range(4):
+            if found[v, k]:
+                u = idx[v, k]
+                assert found[u, k + 4] and idx[u, k + 4] == v
+
+
+def test_lattice_conv_center_identity(rng):
+    pos = _cloud(rng, 128)
+    t = vt.make_table(2048, 3)
+    t, out = lo.distribute(t, pos, jnp.ones(128, bool), SIGMA)
+    nbr = lo.build_neighbor_table(t)
+
+    c = 8
+    vals = jnp.asarray(rng.normal(size=(2048, c)).astype(np.float32))
+    vals = lo.mask_rows(vals, t.count)
+
+    # weight = selects the center tap (last of 9) as identity
+    w = np.zeros((9 * c, c), np.float32)
+    w[8 * c:, :] = np.eye(c)
+    got = lo.lattice_conv(vals, nbr, jnp.asarray(w), t.count)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(vals), atol=1e-5)
+
+
+def test_lattice_conv_averaging_reduces_variance(rng):
+    pos = _cloud(rng, 512, scale=1.5)
+    t = vt.make_table(4096, 3)
+    t, _ = lo.distribute(t, pos, jnp.ones(512, bool), SIGMA)
+    nbr = lo.build_neighbor_table(t)
+    vals = lo.mask_rows(jnp.asarray(rng.normal(size=(4096, 4)).astype(np.float32)), t.count)
+    w = np.full((9 * 4, 4), 0.0, np.float32)
+    for k in range(9):
+        w[k * 4:(k + 1) * 4] = np.eye(4) / 9.0
+    got = np.asarray(lo.lattice_conv(vals, nbr, jnp.asarray(w), t.count))
+    cnt = int(t.count)
+    assert got[1:cnt].std() < np.asarray(vals)[1:cnt].std()
+
+
+def test_coarsen_link_covers_every_fine_vertex(rng):
+    pos = _cloud(rng, 256, scale=4.0)
+    fine = vt.make_table(4096, 3)
+    fine, _ = lo.distribute(fine, pos, jnp.ones(256, bool), SIGMA)
+    coarse = vt.make_table(4096, 3)
+    coarse, link = lo.grow_coarse_table(fine, coarse)
+
+    nf, nc = int(fine.count), int(coarse.count)
+    # for dense clouds nc << nf; for sparse ones corners barely overlap and
+    # nc can exceed nf, bounded by (d+1)x
+    assert 1 < nc <= 4 * nf
+    ci, cb = np.asarray(link.corner_idx), np.asarray(link.corner_bary)
+
+    # every occupied fine vertex couples to real coarse vertices with weights
+    # summing to 1 (partition of unity)
+    assert (ci[1:nf] > 0).all()
+    np.testing.assert_allclose(cb[1:nf].sum(-1), 1.0, atol=1e-4)
+    # invalid fine rows carry zero weight
+    assert (cb[nf:] == 0).all() and (cb[0] == 0).all()
+
+
+def test_splat_slice_between_levels_roundtrip(rng):
+    """A constant field splat down and sliced back stays constant."""
+    pos = _cloud(rng, 256, scale=4.0)
+    fine = vt.make_table(4096, 3)
+    fine, _ = lo.distribute(fine, pos, jnp.ones(256, bool), SIGMA)
+    coarse = vt.make_table(4096, 3)
+    coarse, link = lo.grow_coarse_table(fine, coarse)
+    nf = int(fine.count)
+
+    const = lo.mask_rows(jnp.full((4096, 2), 3.0), fine.count)
+    sliced = lo.slice_to_fine(
+        lo.mask_rows(jnp.full((4096, 2), 3.0), coarse.count), link)
+    np.testing.assert_allclose(np.asarray(sliced)[1:nf], 3.0, atol=1e-4)
+
+    # splat conserves mass: total fine value == total coarse value
+    pooled = lo.splat_to_coarse(const, link, 4096)
+    pooled = lo.mask_rows(pooled, coarse.count)
+    np.testing.assert_allclose(float(pooled.sum()), float(const.sum()),
+                               rtol=1e-5)
+
+
+def test_segment_max_with_argmax(rng):
+    data = rng.normal(size=(40, 3)).astype(np.float32)
+    ids = rng.integers(0, 8, size=40).astype(np.int32)
+    valid = rng.random(40) > 0.2
+    mx, arg = seg.segment_max_with_argmax(
+        jnp.asarray(data), jnp.asarray(ids), 8, jnp.asarray(valid))
+    mx, arg = np.asarray(mx), np.asarray(arg)
+    for s in range(8):
+        sel = (ids == s) & valid
+        for c in range(3):
+            if sel.any():
+                assert np.isclose(mx[s, c], data[sel, c].max())
+                assert sel[arg[s, c]] and np.isclose(data[arg[s, c], c], mx[s, c])
+            else:
+                assert mx[s, c] == 0.0 and arg[s, c] == -1
+
+
+def test_mask_rows():
+    x = jnp.ones((8, 2))
+    got = np.asarray(lo.mask_rows(x, jnp.int32(5)))
+    assert (got[0] == 0).all() and (got[5:] == 0).all() and (got[1:5] == 1).all()
