@@ -1,0 +1,147 @@
+"""Jit-compiled training/eval engine.
+
+The reference's per-frame Python loop with CUDA sync points
+(/root/reference/train_ln.py:160-239) becomes two XLA programs:
+
+* ``sequence_forward``: ``lax.scan`` over the first T-1 frames with the
+  trimmed (early_return) model body, then the full model on the final frame
+  -- one fused device program per sequence, BPTT through the scan carry;
+* ``train_step``: value_and_grad of the sequence loss (0.5 Lovasz + 0.5 NLL
+  on the last frame only, train_ln.py:212-216) + AdamW(amsgrad) update.
+
+Batch axis: everything is vmapped over a leading batch dimension of
+sequences and sharded over the ``dp`` mesh axis (each device owns whole
+sequences; gradients all-reduce over ICI).  The reference has no
+parallelism at all (SURVEY.md 2.7) -- this layer is the TPU-native scaling
+story on top of capability parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConfig, RuntimeConfig
+from ..models import LNNSeq, init_state
+from ..models.losses import segmentation_loss
+from . import optim
+
+
+class SeqBatch(NamedTuple):
+    """A batch of padded sequences, shapes (B, T, P, ...)."""
+
+    positions: jax.Array
+    values: jax.Array
+    labels: jax.Array
+    mask: jax.Array
+
+    @staticmethod
+    def stack(frame_lists) -> "SeqBatch":
+        """frame_lists: list over batch of lists over time of FrameBatch."""
+        def take(attr):
+            return jnp.asarray(np.stack(
+                [np.stack([getattr(f, attr) for f in seq]) for seq in frame_lists]))
+        return SeqBatch(take("positions"), take("values"),
+                        take("labels"), take("mask"))
+
+
+def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig):
+    """Single-sequence forward: (params, frames(T,P,...)) -> (logp, aux)."""
+
+    def seq_forward(params, positions, values, mask, deterministic=True):
+        state = init_state(cfg, rt)
+        t = positions.shape[0]
+        if t > 1:
+            def body(carry, inp):
+                p, v, m = inp
+                _, carry, _ = model.apply(params, p, v, m, carry, final=False,
+                                          deterministic=deterministic)
+                return carry, ()
+            state, _ = jax.lax.scan(
+                body, state, (positions[:-1], values[:-1], mask[:-1]))
+        (logp, sv), state, aux = model.apply(
+            params, positions[-1], values[-1], mask[-1], state, final=True,
+            deterministic=deterministic)
+        return logp, sv, aux
+
+    return seq_forward
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def create_train_state(cfg: ModelConfig, rt: RuntimeConfig, lr: float,
+                       weight_decay: float, seed: int = 0):
+    """Initialise model params (one tiny forward; the analog of the
+    reference's lazy-parameter first forward, train_ln.py:178) and the
+    optimiser."""
+    model = LNNSeq(cfg, rt)
+    k = jax.random.PRNGKey(seed)
+    p = jnp.zeros((8, 3), jnp.float32)
+    v_dim = 1
+    v = jnp.zeros((8, v_dim), jnp.float32)
+    m = jnp.ones((8,), bool)
+    # init with a tiny runtime so initialisation is instant; shapes of
+    # params do not depend on capacities
+    tiny_rt = RuntimeConfig(max_points=8, capacity_level0=64,
+                            capacity_decay=1.0, min_capacity=64,
+                            sigma=rt.sigma)
+    tiny_model = LNNSeq(cfg, tiny_rt)
+    variables = tiny_model.init(k, p, v, m, init_state(cfg, tiny_rt), final=True)
+    params = {"params": variables["params"]}
+    tx = optim.make_optimizer(lr, weight_decay)
+    opt_state = tx.init(params["params"])
+    return model, TrainState(params, opt_state, jnp.int32(0)), tx
+
+
+def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
+                    ignore_index: int = 0):
+    seq_fwd = make_sequence_forward(model, cfg, rt)
+
+    def loss_one(params, positions, values, labels, mask):
+        logp, sv, aux = seq_fwd(params, positions, values, mask,
+                                deterministic=True)
+        loss, parts = segmentation_loss(logp, labels[-1], mask[-1], ignore_index)
+        return loss, (logp, parts, aux)
+
+    def batch_loss(params, batch: SeqBatch):
+        losses, (logp, parts, aux) = jax.vmap(
+            loss_one, in_axes=(None, 0, 0, 0, 0))(
+                params, batch.positions, batch.values, batch.labels, batch.mask)
+        return jnp.mean(losses), (logp, parts, aux)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: SeqBatch, lr_scale):
+        def lfn(p):
+            return batch_loss(p, batch)
+        (loss, (logp, parts, aux)), grads = jax.value_and_grad(
+            lfn, has_aux=True)(state.params)
+        opt_state = state.opt_state
+        opt_state.hyperparams["lr_scale"] = jnp.asarray(lr_scale, jnp.float32)
+        updates, opt_state = tx.update(grads["params"], opt_state,
+                                       state.params["params"])
+        params = {"params": optax.apply_updates(state.params["params"], updates)}
+        new_state = TrainState(params, opt_state, state.step + 1)
+        metrics = {"loss": loss,
+                   "lovasz": jnp.mean(parts["lovasz"]),
+                   "nll": jnp.mean(parts["nll"]),
+                   "nr_vertices": jnp.max(aux["nr_vertices"])}
+        return new_state, logp, metrics
+
+    @jax.jit
+    def eval_step(params, batch: SeqBatch):
+        losses, (logp, parts, aux) = jax.vmap(
+            loss_one, in_axes=(None, 0, 0, 0, 0))(
+                params, batch.positions, batch.values, batch.labels, batch.mask)
+        return logp, {"loss": jnp.mean(losses),
+                      "nr_vertices": jnp.max(aux["nr_vertices"])}
+
+    return train_step, eval_step

@@ -1,0 +1,92 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+from temporal_latticenet_tpu.train import engine
+from temporal_latticenet_tpu.train.optim import (ReduceLROnPlateau,
+                                                 cosine_warm_restarts)
+from tests.test_model import TINY_RT, tiny_cfg
+
+
+def _batch(rng, b=1, t=3, n=80, p=128):
+    pos = np.zeros((b, t, p, 3), np.float32)
+    val = np.zeros((b, t, p, 1), np.float32)
+    lab = np.zeros((b, t, p), np.int32)
+    msk = np.zeros((b, t, p), bool)
+    for bi in range(b):
+        base = rng.normal(size=(n, 3)).astype(np.float32) * 4
+        # learnable signal: label = octant-ish function of position
+        labels = 1 + (base[:, 0] > 0).astype(np.int32) \
+            + 2 * (base[:, 1] > 0).astype(np.int32)
+        for ti in range(t):
+            pos[bi, ti, :n] = base + ti * 0.2
+            val[bi, ti, :n] = rng.random((n, 1))
+            lab[bi, ti, :n] = labels
+            msk[bi, ti, :n] = True
+    return engine.SeqBatch(jnp.asarray(pos), jnp.asarray(val),
+                           jnp.asarray(lab), jnp.asarray(msk))
+
+
+def test_train_step_reduces_loss_on_fixed_batch(rng):
+    """Overfit smoke test, the jit analog of the reference's do_overfit
+    fixture (SURVEY.md 4)."""
+    cfg = tiny_cfg(rnn_modules=("gru", "none", "none", "none"))
+    model, state, tx = engine.create_train_state(cfg, TINY_RT, lr=1e-3,
+                                                 weight_decay=0.0)
+    train_step, eval_step = engine.make_train_step(model, cfg, TINY_RT, tx)
+    batch = _batch(rng)
+
+    losses = []
+    for _ in range(20):
+        state, logp, metrics = train_step(state, batch, 1.0)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert min(losses[-3:]) < losses[0]
+
+
+def test_eval_step_runs(rng):
+    cfg = tiny_cfg()
+    model, state, tx = engine.create_train_state(cfg, TINY_RT, 1e-3, 1e-3)
+    _, eval_step = engine.make_train_step(model, cfg, TINY_RT, tx)
+    logp, metrics = eval_step(state.params, _batch(rng))
+    assert logp.shape == (1, 128, 5)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_cosine_warm_restarts_schedule():
+    assert cosine_warm_restarts(0.0, 3.0) == pytest.approx(1.0)
+    assert cosine_warm_restarts(1.5, 3.0) == pytest.approx(0.5)
+    assert cosine_warm_restarts(3.0, 3.0) == pytest.approx(1.0)  # restart
+    assert 0.0 <= cosine_warm_restarts(2.9, 3.0) < 0.01
+
+
+def test_reduce_lr_on_plateau():
+    s = ReduceLROnPlateau(patience=2, factor=0.1)
+    scales = [s.step(1.0) for _ in range(6)]
+    assert scales[:3] == [1.0, 1.0, 1.0]
+    assert scales[3] == pytest.approx(0.1)
+
+
+def test_data_parallel_batch_sharding(rng):
+    """DP over the 8 virtual CPU devices: sharded batch, replicated params,
+    one jitted step executes across the mesh."""
+    from temporal_latticenet_tpu.parallel import mesh as pmesh
+    assert len(jax.devices()) == 8
+
+    cfg = tiny_cfg(rnn_modules=("gru", "none", "none", "none"),
+                   frames_per_seq=2)
+    rt = RuntimeConfig(max_points=64, capacity_level0=512,
+                       capacity_decay=1.0, min_capacity=256, sigma=0.6)
+    model, state, tx = engine.create_train_state(cfg, rt, 1e-3, 1e-3)
+    train_step, _ = engine.make_train_step(model, cfg, rt, tx)
+
+    m = pmesh.make_mesh(8)
+    batch = pmesh.shard_batch(m, _batch(rng, b=8, t=2, n=40, p=64))
+    state = engine.TrainState(pmesh.replicate(m, state.params),
+                              pmesh.replicate(m, state.opt_state), state.step)
+
+    state, logp, metrics = train_step(state, batch, 1.0)
+    assert np.isfinite(float(metrics["loss"]))
+    assert logp.shape == (8, 64, 5)
