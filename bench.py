@@ -1,0 +1,106 @@
+"""Benchmark: SemanticKITTI-scale 4-frame sequence inference throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "points/sec/chip", "vs_baseline": N}
+
+Metric definition (BASELINE.md north star): total points processed across
+the 4 frames of a sequence divided by wall time per sequence, on one chip,
+flagship gru-gru-aflow-gru model at SemanticKITTI scale (~120k pts/scan,
+sigma 0.6).
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
+ratio against a documented ESTIMATE of the reference's A100 throughput:
+~50 ms/frame for the CUDA pipeline on ~120k-point scans -> 4*120k/0.2 s
+= 2.4M points/sec.  This constant is an engineering estimate, not a
+measured baseline, and is recorded here so the ratio's meaning is explicit.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+from temporal_latticenet_tpu.data.synthetic import synthetic_sequence
+from temporal_latticenet_tpu.models import LNNSeq
+from temporal_latticenet_tpu.train.engine import make_sequence_forward
+
+REFERENCE_A100_POINTS_PER_SEC_ESTIMATE = 2.4e6
+
+FLAGSHIP = ModelConfig(
+    nr_classes=26,
+    rnn_modules=("gru", "gru", "aflow", "gru"),
+    frames_per_seq=4,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=120_000)
+    ap.add_argument("--max-points", type=int, default=131_072)
+    ap.add_argument("--capacity", type=int, default=65_536)
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--warmup", type=int, default=2)
+    args = ap.parse_args()
+
+    rt = RuntimeConfig(max_points=args.max_points,
+                       capacity_level0=args.capacity,
+                       capacity_decay=0.75, min_capacity=8192, sigma=0.6)
+    cfg = FLAGSHIP
+    model = LNNSeq(cfg, rt)
+    seq_fwd = make_sequence_forward(model, cfg, rt)
+
+    rng = np.random.default_rng(0)
+    p, v, l, m = synthetic_sequence(rng, frames=args.frames,
+                                    n_points=args.points,
+                                    max_points=rt.max_points)
+    positions, values, mask = jnp.asarray(p), jnp.asarray(v), jnp.asarray(m)
+
+    from temporal_latticenet_tpu.models import init_state
+    variables = model.init(jax.random.PRNGKey(0), positions[0], values[0],
+                           mask[0], init_state(cfg, rt), final=True)
+    params = {"params": variables["params"]}
+
+    fwd = jax.jit(lambda prm, p_, v_, m_: seq_fwd(prm, p_, v_, m_)[0])
+
+    t0 = time.perf_counter()
+    out = fwd(params, positions, values, mask)
+    out.block_until_ready()
+    compile_s = time.perf_counter() - t0
+
+    for _ in range(args.warmup):
+        fwd(params, positions, values, mask)[0].block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        fwd(params, positions, values, mask)[0].block_until_ready()
+    dt = (time.perf_counter() - t0) / args.iters
+
+    pts_per_sec = args.frames * args.points / dt
+    result = {
+        "metric": "semantickitti_4frame_seq_inference",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/sec/chip",
+        "vs_baseline": round(pts_per_sec / REFERENCE_A100_POINTS_PER_SEC_ESTIMATE, 3),
+    }
+    print(json.dumps(result))
+    # extra context on stderr-style secondary line is avoided: driver wants
+    # one JSON line; details go to a sidecar file
+    with open("bench_details.json", "w") as f:
+        json.dump({**result, "seconds_per_sequence": dt,
+                   "compile_seconds": compile_s,
+                   "points_per_frame": args.points,
+                   "frames": args.frames,
+                   "backend": jax.default_backend(),
+                   "device": str(jax.devices()[0])}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Host-side training/eval orchestration: the ``train_ln.run`` /
+``test_ln.run`` equivalents (/root/reference/train_ln.py:62-268,
+/root/reference/test_ln.py:64-268) over the jitted engine.
+
+Differences from the reference, by design:
+* parameters are created eagerly at startup (no lazy-params checkpoint
+  dance, train_ln.py:178-209);
+* checkpoints include optimiser state and support exact resume;
+* any batch size B >= 1 of sequences, sharded across a device mesh when one
+  is provided (the reference hardcodes batch_size=1, train_ln.py:56).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+
+import numpy as np
+
+import jax
+
+from ..config import (ModelConfig, RuntimeConfig, cfgParser,
+                      model_config_from_cfg, nr_classes_from_cfg,
+                      runtime_config_from_cfg)
+from ..data.kitti import SemanticKittiDataset
+from . import checkpoint as ckpt
+from . import engine, optim
+from .callbacks import CallbacksGroup, Phase, StateCallback, WandBCallback
+
+
+def _prefetch(iterable, depth: int = 2):
+    """Background-thread prefetch, standing in for the reference's 8 loader
+    workers (train_ln.py:56-57) until the native loader lands."""
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for item in iterable:
+                q.put(item)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            return
+        yield item
+
+
+def _sequence_order(n: int, shuffle: bool, rng: np.random.Generator):
+    order = np.arange(n)
+    if shuffle:
+        rng.shuffle(order)
+    return order
+
+
+def make_datasets(parser: cfgParser, cfg: ModelConfig, rt: RuntimeConfig,
+                  splits=("train", "valid")):
+    lc = parser.get_loader_vars()
+    mc = parser.get_model_vars()
+    return {
+        s: SemanticKittiDataset(s, lc, mc, cfg.sequence_learning,
+                                max_points=rt.max_points)
+        for s in splits
+    }
+
+
+def run_training(config_file: str, max_steps: int | None = None,
+                 datasets=None):
+    parser = cfgParser(config_file)
+    train_cfg = parser.get_train_vars()
+    loader_cfg = parser.get_loader_vars()
+    label_cfg = parser.get_label_mngr_vars()
+    ignore_index = label_cfg.get("unlabeled_idx", 0)
+
+    nr_classes = nr_classes_from_cfg(parser)
+    cfg = model_config_from_cfg(parser, nr_classes)
+    rt = runtime_config_from_cfg(parser)
+
+    model, state, tx = engine.create_train_state(
+        cfg, rt, lr=train_cfg["lr"], weight_decay=train_cfg["weight_decay"])
+    train_step, eval_step = engine.make_train_step(model, cfg, rt, tx,
+                                                   ignore_index)
+
+    if datasets is None:
+        datasets = make_datasets(parser, cfg, rt)
+
+    if train_cfg.get("load_checkpoint"):
+        path = os.path.join(train_cfg["checkpoint_path"],
+                            train_cfg["load_checkpoint_model"])
+        restored = ckpt.load(path, state.params, state.opt_state)
+        state = engine.TrainState(restored["params"], restored["opt_state"],
+                                  restored["step"])
+        print("loaded checkpoint:", path)
+
+    cbs = [StateCallback()]
+    if train_cfg.get("with_wandb"):
+        cbs.append(WandBCallback("temporal_latticenet_tpu", parser.contents))
+    cb = CallbacksGroup(cbs)
+
+    phases = [Phase("train", datasets["train"], grad=True),
+              Phase("valid", datasets["valid"], grad=False)]
+
+    scheduler_kind = train_cfg.get("scheduler", "CosineAnnealingWarmRestarts")
+    plateau = optim.ReduceLROnPlateau()
+    restart_epochs = float(train_cfg.get("restart_epochs", 3))
+    rng = np.random.default_rng(0)
+    steps_done = 0
+
+    for epoch in range(int(train_cfg["training_epochs"])):
+        for phase in phases:
+            cb.epoch_started(phase=phase)
+            order = _sequence_order(len(phase.loader),
+                                    phase.grad and loader_cfg.get("shuffle", False),
+                                    rng)
+            n_seq = len(order)
+            it = _prefetch(phase.loader[int(i)] for i in order)
+            for seq_i, frames in enumerate(it):
+                batch = engine.SeqBatch.stack([frames])
+                if phase.grad:
+                    if scheduler_kind == "CosineAnnealingWarmRestarts":
+                        frac = phase.epoch_nr + seq_i / max(n_seq, 1)
+                        lr_scale = optim.cosine_warm_restarts(frac, restart_epochs)
+                    else:
+                        lr_scale = plateau.scale
+                    state, logp, metrics = train_step(state, batch, lr_scale)
+                else:
+                    logp, metrics = eval_step(state.params, batch)
+                    lr_scale = 0.0
+
+                last = frames[-1]
+                cb.after_forward_pass(
+                    phase=phase, loss=float(metrics["loss"]),
+                    pred_logits=np.asarray(logp[0])[last.mask],
+                    target=last.labels[last.mask],
+                    ignore_index=ignore_index, lr=lr_scale)
+
+                steps_done += 1
+                if max_steps is not None and steps_done >= max_steps:
+                    break
+
+            name = ckpt.checkpoint_name(
+                loader_cfg.get("include_moving_classes", False),
+                train_cfg["dataset_name"], cfg.values_mode, rt.sigma,
+                cfg.rnn_modules, cfg.frames_per_seq,
+                loader_cfg.get("cloud_scope", 1), epoch,
+                loader_cfg.get("accumulate_clouds", False))
+            if phase.grad and train_cfg.get("save_checkpoint"):
+                path = os.path.join(train_cfg["checkpoint_path"], name + ".ckpt")
+                ckpt.save(path, state.params, state.opt_state, int(state.step))
+                print("saved checkpoint:", path)
+            if not phase.grad and scheduler_kind == "ReduceLROnPlateau":
+                plateau.step(phase.loss_acum_per_epoch)
+            cb.epoch_ended(phase=phase,
+                           checkpoint_path=train_cfg.get("checkpoint_path"),
+                           name=name)
+        if max_steps is not None and steps_done >= max_steps:
+            break
+    return state
+
+
+def run_eval(config_file: str, split: str = "test", max_seqs: int | None = None,
+             datasets=None, checkpoint_path: str | None = None):
+    """Evaluation / prediction writing (test_ln.py parity): runs the chosen
+    split and optionally writes per-point ``.label`` files in the
+    semantic-kitti-api submission layout (test_ln.py:192-231)."""
+    parser = cfgParser(config_file)
+    eval_cfg = parser.get_eval_vars()
+    loader_cfg = parser.get_loader_vars()
+    label_cfg = parser.get_label_mngr_vars()
+    ignore_index = label_cfg.get("unlabeled_idx", 0)
+
+    nr_classes = nr_classes_from_cfg(parser)
+    cfg = model_config_from_cfg(parser, nr_classes)
+    rt = runtime_config_from_cfg(parser)
+
+    model, state, tx = engine.create_train_state(cfg, rt, lr=1e-3,
+                                                 weight_decay=0.0)
+    _, eval_step = engine.make_train_step(model, cfg, rt, tx, ignore_index)
+
+    path = checkpoint_path or (
+        os.path.join(eval_cfg["checkpoint_path"],
+                     eval_cfg["load_checkpoint_model"])
+        if eval_cfg.get("load_checkpoint_model") else None)
+    if path:
+        restored = ckpt.load(path, state.params)
+        state = engine.TrainState(restored["params"], state.opt_state,
+                                  restored["step"])
+        print("loaded checkpoint:", path)
+
+    if datasets is None:
+        datasets = make_datasets(parser, cfg, rt, splits=(split,))
+    ds = datasets[split]
+
+    phase = Phase(split, ds, grad=False)
+    cb = CallbacksGroup([StateCallback()])
+    cb.epoch_started(phase=phase)
+
+    write_preds = eval_cfg.get("do_write_predictions", False)
+    out_root = eval_cfg.get("output_predictions_path", "./predictions")
+
+    for seq_i, frames in enumerate(_prefetch(iter(ds))):
+        batch = engine.SeqBatch.stack([frames])
+        logp, metrics = eval_step(state.params, batch)
+        last = frames[-1]
+        pred = np.asarray(logp[0]).argmax(axis=1)[last.mask]
+        cb.after_forward_pass(
+            phase=phase, loss=float(metrics["loss"]),
+            pred_logits=np.asarray(logp[0])[last.mask], target=last.labels[last.mask],
+            ignore_index=ignore_index, lr=0.0)
+
+        if write_preds:
+            # semantic-kitti-api layout:
+            # predictions/sequences/<seq>/predictions/<scan>.label
+            base = os.path.splitext(os.path.basename(last.path))[0]
+            seq_dir = os.path.basename(
+                os.path.dirname(os.path.dirname(last.path)))
+            out_dir = os.path.join(out_root, "sequences", seq_dir, "predictions")
+            os.makedirs(out_dir, exist_ok=True)
+            pred.astype(np.uint32).tofile(os.path.join(out_dir, base + ".label"))
+
+        if max_seqs is not None and seq_i + 1 >= max_seqs:
+            break
+
+    mean_iou = phase.scores.avg_class_iou()
+    cb.epoch_ended(phase=phase)
+    return mean_iou, phase

@@ -1,0 +1,184 @@
+"""End-to-end host-loop smoke test: a real config file, a synthetic on-disk
+SemanticKITTI dataset, a few optimisation steps and one eval pass -- the
+jit-era analog of the reference's do_overfit fixture (SURVEY.md 4)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from temporal_latticenet_tpu.train import loop as tloop
+
+CFG_TEMPLATE = """
+core: {{ loguru_verbosity: 3 }}
+train: {{
+    dataset_name: "semantickitti"
+    batch_size: 1
+    scheduler: "CosineAnnealingWarmRestarts"
+    restart_epochs: 3
+    lr: 0.001
+    weight_decay: 1e-3
+    training_epochs: 1
+    with_viewer: false
+    with_visdom: false
+    with_wandb: false
+    save_checkpoint: true
+    checkpoint_path: "{ckpt}"
+    load_checkpoint: false
+    load_checkpoint_model: ""
+}}
+eval: {{
+    dataset_name: "semantickitti"
+    with_viewer: false
+    save_checkpoint: false
+    checkpoint_path: "{ckpt}"
+    load_checkpoint_model: ""
+    do_write_predictions: true
+    output_predictions_path: "{preds}"
+}}
+model: {{
+    positions_mode: "xyz"
+    values_mode: "reflectance"
+    pointnet_layers: [8, 16]
+    pointnet_start_nr_channels: 16
+    nr_downsamples: 2
+    nr_blocks_down_stage: [1, 1, 1]
+    nr_blocks_bottleneck: 1
+    nr_blocks_up_stage: [1, 1, 1]
+    nr_levels_down_with_normal_resnet: 3
+    nr_levels_up_with_normal_resnet: 3
+    compression_factor: 1.0
+    dropout_last_layer: 0.0
+    sequence_learning: true
+    rnn_modules: ["gru", "none", "none", "gru"]
+    train_alpha_beta: true
+    use_center: true
+    experiment: "none"
+}}
+lattice_gpu: {{ hash_table_capacity: 512  nr_sigmas: 1  sigma_0: "0.6 3" }}
+runtime: {{
+    max_points: 64
+    capacity_level0: 512
+    capacity_decay: 1.0
+    min_capacity: 256
+}}
+loader_semantic_kitti: {{
+    dataset_path: "{data}"
+    accumulate_clouds: false
+    frames_per_seq: 2
+    cloud_scope: 1
+    include_moving_classes: true
+    sequences: "all"
+    shuffle: false
+    shuffle_points: false
+    do_pose: true
+    nr_clouds_to_skip: 0
+    nr_clouds_to_read: 3
+    cap_distance: -1
+    min_distance: -1
+    normalize: false
+    do_overfit: false
+    overfit_num_clouds: 100
+    debug_loader: false
+    seq_same_cloud: false
+    label_mngr: {{ unlabeled_idx: 0 }}
+    transformer: {{ }}
+}}
+"""
+
+
+@pytest.fixture
+def tiny_world(tmp_path):
+    """On-disk mini dataset + config file."""
+    rng = np.random.default_rng(11)
+    n_scans, n_pts = 6, 40
+    for seq in ["00", "08", "11"]:
+        seq_dir = tmp_path / "data" / "sequences" / seq
+        (seq_dir / "velodyne").mkdir(parents=True)
+        (seq_dir / "labels").mkdir()
+        with open(seq_dir / "calib.txt", "w") as f:
+            eye = "1 0 0 0 0 1 0 0 0 0 1 0"
+            for k in ["P0", "Tr"]:
+                f.write(f"{k}: {eye}\n")
+        with open(seq_dir / "poses.txt", "w") as f:
+            for s in range(n_scans):
+                f.write(f"1 0 0 {0.1*s} 0 1 0 0 0 0 1 0\n")
+        for s in range(n_scans):
+            pts = rng.normal(size=(n_pts, 3)).astype(np.float32) * 3
+            refl = rng.random(n_pts).astype(np.float32)
+            np.concatenate([pts, refl[:, None]], 1).astype(np.float32).tofile(
+                seq_dir / "velodyne" / f"{s:06d}.bin")
+            lab = rng.choice([10, 40, 48], n_pts).astype(np.uint32)
+            lab.tofile(seq_dir / "labels" / f"{s:06d}.label")
+
+    cfg_path = tmp_path / "cfg.cfg"
+    cfg_path.write_text(CFG_TEMPLATE.format(
+        ckpt=str(tmp_path / "ckpts") + "/",
+        preds=str(tmp_path / "preds"),
+        data=str(tmp_path / "data")))
+    return tmp_path, str(cfg_path)
+
+
+def _patch_lengths(datasets, n=6):
+    for ds in datasets.values():
+        ds.dataset_lengths = [n]
+        ds.dataset_size = min(ds.dataset_size, 3)
+    return datasets
+
+
+def test_run_training_and_eval(tiny_world):
+    tmp_path, cfg_path = tiny_world
+
+    from temporal_latticenet_tpu.config import (cfgParser,
+                                                model_config_from_cfg,
+                                                nr_classes_from_cfg,
+                                                runtime_config_from_cfg)
+    parser = cfgParser(cfg_path)
+    cfg = model_config_from_cfg(parser, nr_classes_from_cfg(parser))
+    rt = runtime_config_from_cfg(parser)
+    assert cfg.nr_classes == 26 and rt.max_points == 64
+
+    datasets = _patch_lengths(tloop.make_datasets(parser, cfg, rt))
+    state = tloop.run_training(cfg_path, max_steps=4, datasets=datasets)
+    assert state is not None
+    ckpts = os.listdir(tmp_path / "ckpts")
+    assert any(c.endswith(".ckpt") for c in ckpts)
+    assert any(c.endswith(".csv") for c in ckpts)
+
+    # eval on the same tiny world, writing predictions
+    eval_sets = _patch_lengths(tloop.make_datasets(parser, cfg, rt,
+                                                   splits=("valid",)))
+    miou, phase = tloop.run_eval(cfg_path, split="valid", max_seqs=2,
+                                 datasets=eval_sets)
+    assert 0.0 <= miou <= 1.0
+    preds_root = tmp_path / "preds" / "sequences"
+    label_files = list(preds_root.rglob("*.label"))
+    assert label_files, "prediction .label files must be written"
+    raw = np.fromfile(label_files[0], dtype=np.uint32)
+    assert raw.shape[0] == 40
+
+
+def test_checkpoint_roundtrip(tiny_world, tmp_path):
+    from temporal_latticenet_tpu.config import (cfgParser,
+                                                model_config_from_cfg,
+                                                nr_classes_from_cfg,
+                                                runtime_config_from_cfg)
+    from temporal_latticenet_tpu.train import checkpoint as ckpt
+    from temporal_latticenet_tpu.train import engine
+    import jax
+
+    _, cfg_path = tiny_world
+    parser = cfgParser(cfg_path)
+    cfg = model_config_from_cfg(parser, nr_classes_from_cfg(parser))
+    rt = runtime_config_from_cfg(parser)
+    model, state, tx = engine.create_train_state(cfg, rt, 1e-3, 1e-3)
+
+    path = str(tmp_path / "x.ckpt")
+    ckpt.save(path, state.params, state.opt_state, 7)
+    model2, state2, _ = engine.create_train_state(cfg, rt, 1e-3, 1e-3, seed=1)
+    restored = ckpt.load(path, state2.params, state2.opt_state)
+    assert restored["step"] == 7
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
