@@ -24,8 +24,11 @@ from __future__ import annotations
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SENTINEL = jnp.int32(2**31 - 1)  # padding key coordinate; never a real key
+# Padding key coordinate; never a real key.  A plain numpy scalar on purpose:
+# a jnp constant here would initialise the JAX backend at import time.
+SENTINEL = np.int32(2**31 - 1)
 
 
 @flax.struct.dataclass

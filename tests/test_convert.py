@@ -1,0 +1,195 @@
+"""Torch-parity tests: our fusion cells and converter rules must reproduce
+torch module outputs exactly (the foundation of .pt checkpoint fidelity,
+SURVEY.md 5.4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+from temporal_latticenet_tpu.models.fusion import _GRUCell, _LSTMCell, TorchLinear
+from temporal_latticenet_tpu.train import torch_convert as tc
+
+
+def test_gru_cell_matches_torch(rng):
+    h = 16
+    cell_t = torch.nn.GRUCell(h, h)
+    x = rng.normal(size=(5, h)).astype(np.float32)
+    hh = rng.normal(size=(5, h)).astype(np.float32)
+    want = cell_t(torch.tensor(x), torch.tensor(hh)).detach().numpy()
+
+    sd = {f"m.{k}": v.detach().numpy() for k, v in cell_t.state_dict().items()}
+    params = tc.convert_gru_cell(sd, "m")
+    cell_j = _GRUCell(h)
+    got = cell_j.apply({"params": params}, jnp.asarray(x), jnp.asarray(hh))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_lstm_cell_matches_torch(rng):
+    h = 12
+    cell_t = torch.nn.LSTMCell(h, h)
+    x = rng.normal(size=(4, h)).astype(np.float32)
+    hh = rng.normal(size=(4, h)).astype(np.float32)
+    cc = np.zeros((4, h), np.float32)  # the reference always feeds zero cell state
+    want_h, want_c = cell_t(torch.tensor(x), (torch.tensor(hh), torch.tensor(cc)))
+
+    sd = {f"m.{k}": v.detach().numpy() for k, v in cell_t.state_dict().items()}
+    params = tc.convert_lstm_cell(sd, "m")
+    got_h, got_c = _LSTMCell(h).apply({"params": params}, jnp.asarray(x),
+                                      jnp.asarray(hh), jnp.asarray(cc))
+    np.testing.assert_allclose(np.asarray(got_h), want_h.detach().numpy(), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), want_c.detach().numpy(), atol=1e-5)
+
+
+def test_linear_matches_torch(rng):
+    lin_t = torch.nn.Linear(10, 7)
+    x = rng.normal(size=(3, 10)).astype(np.float32)
+    want = lin_t(torch.tensor(x)).detach().numpy()
+    sd = {f"l.{k}": v.detach().numpy() for k, v in lin_t.state_dict().items()}
+    params = tc.convert_linear(sd, "l")
+    got = TorchLinear(7).apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_groupnorm_matches_torch(rng):
+    """MaskedGroupNorm on a fully-valid table must equal torch GroupNorm on
+    the (1, C, V) layout the reference uses."""
+    from temporal_latticenet_tpu.models.blocks import MaskedGroupNorm, gn_num_groups
+    c, v = 64, 33
+    gn_t = torch.nn.GroupNorm(gn_num_groups(c), c, affine=True)
+    with torch.no_grad():
+        gn_t.weight.uniform_(0.5, 1.5)
+        gn_t.bias.uniform_(-0.5, 0.5)
+    x = rng.normal(size=(v, c)).astype(np.float32)
+    want = gn_t(torch.tensor(x).unsqueeze(0).transpose(1, 2)) \
+        .transpose(1, 2).squeeze(0).detach().numpy()
+
+    params = tc.convert_groupnorm(
+        {"g.gn.weight": gn_t.weight.detach().numpy(),
+         "g.gn.bias": gn_t.bias.detach().numpy()}, "g.gn")
+    # pad to capacity with an invalid row 0 + tail; stats must ignore them
+    cap = 64
+    xp = np.zeros((cap, c), np.float32)
+    xp[1:v + 1] = x
+    got = MaskedGroupNorm(c).apply({"params": params}, jnp.asarray(xp),
+                                   jnp.int32(v + 1))
+    np.testing.assert_allclose(np.asarray(got)[1:v + 1], want, atol=2e-4)
+
+
+def test_full_state_dict_conversion_schema(rng):
+    """Build a synthetic reference-schema state_dict for the flagship config
+    and check every target param of our model gets filled with the right
+    shape."""
+    from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+    from temporal_latticenet_tpu.models import LNNSeq, init_state
+
+    cfg = ModelConfig(nr_classes=6, pointnet_layers=(8, 16),
+                      pointnet_start_nr_channels=16,
+                      nr_blocks_down_stage=(1, 1, 1), nr_blocks_bottleneck=1,
+                      nr_blocks_up_stage=(1, 1, 1),
+                      rnn_modules=("gru", "gru", "aflow", "gru"),
+                      frames_per_seq=2)
+    rt = RuntimeConfig(max_points=32, capacity_level0=256, capacity_decay=1.0,
+                       min_capacity=128, sigma=0.6)
+    model = LNNSeq(cfg, rt)
+    k = jax.random.PRNGKey(0)
+    pos = jnp.zeros((32, 3)); val = jnp.zeros((32, 1)); msk = jnp.ones((32,), bool)
+    variables = model.init(k, pos, val, msk, init_state(cfg, rt), final=True)
+    target = variables["params"]
+
+    # synthesise a torch-side state_dict with reference names and torch layouts
+    sd = {}
+
+    def put_linear(prefix, kernel_shape):
+        sd[prefix + ".weight"] = rng.normal(size=kernel_shape[::-1]).astype(np.float32)
+        sd[prefix + ".bias"] = rng.normal(size=(kernel_shape[1],)).astype(np.float32)
+
+    def put_from_tree(prefix, tree):
+        for name, leaf in tree.items():
+            if isinstance(leaf, dict):
+                put_from_tree(prefix + "." + name, leaf)
+
+    # walk our param tree and emit the torch twin key for each leaf
+    def emit(prefix_map, target):
+        pass
+
+    # simpler: construct sd directly per converter expectations
+    for i, w in enumerate(cfg.pointnet_layers):
+        fan_in = (4 if i == 0 else cfg.pointnet_layers[i - 1])
+        put_linear(f"point_net_seq.layers.{i}", (fan_in, w))
+    sd["point_net_seq.last_conv.weight"] = rng.normal(
+        size=(9 * cfg.early_channels, cfg.pointnet_start_nr_channels)).astype(np.float32)
+    # early GRU
+    h = cfg.early_channels
+    for nm, shape in [("weight_ih", (3 * h, h)), ("weight_hh", (3 * h, h)),
+                      ("bias_ih", (3 * h,)), ("bias_hh", (3 * h,))]:
+        sd[f"point_net_seq.fusion_module.GRU.{nm}"] = rng.normal(size=shape).astype(np.float32)
+    put_linear("point_net_seq.fusion_module.hidden_linear", (h, h))
+
+    for slot, ch in [(0, cfg.middle_channels), (2, cfg.late_channels)]:
+        pre = f"recurrent_fusion_modules.{slot}"
+        for nm, shape in [("weight_ih", (3 * ch, ch)), ("weight_hh", (3 * ch, ch)),
+                          ("bias_ih", (3 * ch,)), ("bias_hh", (3 * ch,))]:
+            sd[f"{pre}.GRU.{nm}"] = rng.normal(size=shape).astype(np.float32)
+        put_linear(f"{pre}.hidden_linear", (ch, ch))
+    # bottleneck aflow
+    ch = cfg.bottleneck_channels
+    sd["recurrent_fusion_modules.1.AFLOW.alpha"] = np.float32(0.1)
+    sd["recurrent_fusion_modules.1.AFLOW.beta"] = np.float32(0.1)
+    sd["recurrent_fusion_modules.1.AFLOW.weight"] = rng.normal(size=(9 * ch, ch)).astype(np.float32)
+    sd["recurrent_fusion_modules.1.AFLOW.bias"] = rng.normal(size=(ch,)).astype(np.float32)
+    put_linear("recurrent_fusion_modules.1.linear", (2 * ch, ch))
+
+    def put_gn(prefix, c):
+        sd[prefix + ".gn.gn.weight"] = rng.normal(size=(c,)).astype(np.float32)
+        sd[prefix + ".gn.gn.bias"] = rng.normal(size=(c,)).astype(np.float32)
+
+    def put_conv(prefix, cin, cout, bias=False):
+        sd[prefix + ".conv.weight"] = rng.normal(size=(9 * cin, cout)).astype(np.float32)
+        if bias:
+            sd[prefix + ".conv.bias"] = rng.normal(size=(cout,)).astype(np.float32)
+
+    def put_resnet(prefix, c, last_bias=False):
+        put_gn(prefix + ".conv1", c); put_conv(prefix + ".conv1", c, c)
+        put_gn(prefix + ".conv2", c); put_conv(prefix + ".conv2", c, c,
+                                               bias=last_bias)
+
+    def put_bottleneck(prefix, c):
+        put_gn(prefix + ".contract", c)
+        sd[prefix + ".contract.conv.weight"] = rng.normal(size=(c // 2, c)).astype(np.float32)
+        put_gn(prefix + ".conv", c // 2); put_conv(prefix + ".conv", c // 2, c // 2)
+        put_gn(prefix + ".expand", c // 2)
+        sd[prefix + ".expand.conv.weight"] = rng.normal(size=(c, c // 2)).astype(np.float32)
+
+    c = cfg.pointnet_start_nr_channels
+    put_resnet("resnet_blocks_per_down_lvl_list.0.0", c)
+    put_gn("coarsens_list.0", c); put_conv("coarsens_list.0", c, 2 * c)
+    put_resnet("resnet_blocks_per_down_lvl_list.1.0", 2 * c)
+    put_gn("coarsens_list.1", 2 * c); put_conv("coarsens_list.1", 2 * c, 4 * c)
+    put_bottleneck("resnet_blocks_bottleneck.0", 4 * c)
+    put_gn("finefy_list.0", 4 * c); put_conv("finefy_list.0", 4 * c, 2 * c)
+    put_gn("finefy_list.1", 4 * c); put_conv("finefy_list.1", 4 * c, 2 * c)
+    put_resnet("resnet_blocks_per_up_lvl_list.1.0", cfg.late_channels,
+               last_bias=True)
+
+    params, report = tc.convert_state_dict(sd, cfg)
+    got = params["params"]
+
+    # compare shapes against the real target tree (slice is synthesised by
+    # the external CUDA module, so it is exempt here)
+    def walk(a, b, path=""):
+        for k, v in a.items():
+            if k == "slice_fast_cuda":
+                continue
+            assert k in b, f"missing converted subtree {path}/{k}"
+            if isinstance(v, dict):
+                walk(v, b[k], path + "/" + k)
+            else:
+                assert np.asarray(b[k]).shape == np.asarray(v).shape, \
+                    f"shape mismatch at {path}/{k}: {np.asarray(b[k]).shape} vs {np.asarray(v).shape}"
+
+    walk(target, got)
+    assert report["unconsumed"] == []
