@@ -64,8 +64,10 @@ def main():
     positions, values, mask = jnp.asarray(p), jnp.asarray(v), jnp.asarray(m)
 
     from temporal_latticenet_tpu.models import init_state
-    variables = model.init(jax.random.PRNGKey(0), positions[0], values[0],
-                           mask[0], init_state(cfg, rt), final=True)
+    init_fn = jax.jit(lambda k, p_, v_, m_, s: model.init(k, p_, v_, m_, s,
+                                                          final=True))
+    variables = init_fn(jax.random.PRNGKey(0), positions[0], values[0],
+                        mask[0], init_state(cfg, rt))
     params = {"params": variables["params"]}
 
     fwd = jax.jit(lambda prm, p_, v_, m_: seq_fwd(prm, p_, v_, m_)[0])

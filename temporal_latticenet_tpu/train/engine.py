@@ -95,7 +95,11 @@ def create_train_state(cfg: ModelConfig, rt: RuntimeConfig, lr: float,
                             capacity_decay=1.0, min_capacity=64,
                             sigma=rt.sigma)
     tiny_model = LNNSeq(cfg, tiny_rt)
-    variables = tiny_model.init(k, p, v, m, init_state(cfg, tiny_rt), final=True)
+    # jit the init: eager flax init dispatches thousands of tiny ops, which
+    # is pathological over a remote-TPU tunnel
+    init_fn = jax.jit(lambda k_, p_, v_, m_, s_: tiny_model.init(
+        k_, p_, v_, m_, s_, final=True))
+    variables = init_fn(k, p, v, m, init_state(cfg, tiny_rt))
     params = {"params": variables["params"]}
     tx = optim.make_optimizer(lr, weight_decay)
     opt_state = tx.init(params["params"])
