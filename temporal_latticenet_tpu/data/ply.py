@@ -73,7 +73,7 @@ def write_ply_vertices(path: str, fields: dict):
     names = list(fields.keys())
     n = len(fields[names[0]])
     inv_types = {v: k for k, v in _TYPES.items()}
-    dt = np.dtype([(k, np.asarray(v).dtype.str.lstrip("<>="))
+    dt = np.dtype([(k, np.asarray(v).dtype.str.lstrip("<>=|"))
                    for k, v in fields.items()])
     arr = np.empty(n, dtype=dt)
     for k in names:
@@ -82,7 +82,7 @@ def write_ply_vertices(path: str, fields: dict):
         f.write(b"ply\nformat binary_little_endian 1.0\n")
         f.write(f"element vertex {n}\n".encode())
         for k in names:
-            tname = inv_types[np.dtype(arr.dtype[k]).str.lstrip("<>=")]
+            tname = inv_types[np.dtype(arr.dtype[k]).str.lstrip("<>=|")]
             f.write(f"property {tname} {k}\n".encode())
         f.write(b"end_header\n")
         f.write(arr.tobytes())

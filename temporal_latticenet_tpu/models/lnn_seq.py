@@ -122,16 +122,21 @@ class LNNSeq(nn.Module):
                            if kind != "none" else None)
 
         # ---- distribute + PointNet head (+ early fusion) -----------------
-        subtract_mean = cfg.experiment not in (
-            "pointnet_no_local_mean", "pointnet_no_elevate_no_local_mean")
-        tables[0], dist = lo.distribute(tables[0], positions, mask, rt.sigma,
-                                        subtract_local_mean=subtract_mean)
-        nbr0 = lo.build_neighbor_table(tables[0])
+        # named scopes mirror the reference's TIME_START labels
+        # (models.py:302,313,389) for jax.profiler traces
+        with jax.named_scope("distribute"):
+            subtract_mean = cfg.experiment not in (
+                "pointnet_no_local_mean", "pointnet_no_elevate_no_local_mean")
+            tables[0], dist = lo.distribute(
+                tables[0], positions, mask, rt.sigma,
+                subtract_local_mean=subtract_mean)
+            nbr0 = lo.build_neighbor_table(tables[0])
         values_rows = jnp.repeat(values, 4, axis=0) * dist.row_valid[:, None]
 
-        lv, h[0] = PointNetSeq(cfg, name="point_net_seq")(
-            dist, values_rows, nbr0, tables[0].count, h[0], pc[0], is_first,
-            deterministic)
+        with jax.named_scope("pointnet"):
+            lv, h[0] = PointNetSeq(cfg, name="point_net_seq")(
+                dist, values_rows, nbr0, tables[0].count, h[0], pc[0],
+                is_first, deterministic)
         pc[0] = tables[0].count
 
         if (not final) and seq and cut <= 0:

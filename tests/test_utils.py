@@ -1,0 +1,63 @@
+import numpy as np
+
+from temporal_latticenet_tpu.data import class_meta
+from temporal_latticenet_tpu.data.ply import read_ply_vertices
+from temporal_latticenet_tpu.utils.label_mngr import LabelMngr, compute_class_weights
+from temporal_latticenet_tpu.utils import visualization as vis
+
+
+def test_label_mngr_from_bundled_data():
+    m = LabelMngr(dataset="semantickitti", include_moving=True)
+    assert m.nr_classes() == 26
+    assert m.label_name(1) == "car"
+    assert m.get_idx_unlabeled() == 0
+    colors = m.color_from_label_indices(np.array([0, 1, 9]))
+    assert colors.shape == (3, 3)
+    assert (colors >= 0).all() and (colors <= 1).all()
+    # car's official color is BGR (245,150,100) -> distinct RGB
+    np.testing.assert_allclose(colors[1], np.array([100, 150, 245]) / 255.0)
+
+
+def test_label_mngr_from_files(tmp_path):
+    class_meta.write_metadata_files(str(tmp_path))
+    m = LabelMngr(
+        labels_file=str(tmp_path / "semantic-kitti" / "labels.txt"),
+        colorscheme_file=str(tmp_path / "semantic-kitti" / "color_scheme.txt"),
+        frequency_file=str(tmp_path / "semantic-kitti" / "frequency_26.txt"))
+    assert m.nr_classes() == 26
+    assert len(m.frequencies) == 26
+
+
+def test_compute_class_weights():
+    freqs = np.array([0.5, 0.01, 0.3])
+    w = compute_class_weights(freqs, background_idx=0)
+    assert w[0] < 1e-6
+    assert w[1] > w[2]  # rarer class weighted higher
+
+
+def test_export_prediction_cloud(tmp_path):
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(50, 3)).astype(np.float32)
+    pred = rng.integers(0, 5, 50)
+    gt = rng.integers(0, 5, 50)
+    m = LabelMngr(dataset="semantickitti")
+    p = tmp_path / "out.ply"
+    vis.export_prediction_cloud(str(p), pos, pred, m, gt)
+    v = read_ply_vertices(str(p))
+    assert len(v) == 50
+    np.testing.assert_array_equal(v["label"], pred.astype(np.uint32))
+    assert (tmp_path / "out_gt.ply").exists()
+    assert (tmp_path / "out_diff.ply").exists()
+
+
+def test_export_aflow_arrays(tmp_path):
+    aux = {"recurrent_fusion_modules_1": {
+        "aflow_weights": (np.random.rand(16, 9).astype(np.float32),),
+        "aflow_neighbors": (np.zeros((16, 9), np.int32),)}}
+    pos = np.random.rand(8, 3).astype(np.float32)
+    pv = np.zeros((8, 4), np.int32)
+    pv[:, 0] = np.arange(8) % 4 + 1
+    keys = vis.export_aflow_arrays(str(tmp_path / "aflow.npz"), aux, pos, pv, 16)
+    data = np.load(str(tmp_path / "aflow.npz"))
+    assert "avg_position_per_vertex" in data
+    assert any("aflow_weights" in k for k in keys)
