@@ -70,19 +70,21 @@ def main():
                         mask[0], init_state(cfg, rt))
     params = {"params": variables["params"]}
 
-    fwd = jax.jit(lambda prm, p_, v_, m_: seq_fwd(prm, p_, v_, m_)[0])
+    # reduce on device and fetch the scalar to host: a plain
+    # block_until_ready can be a no-op through remote-TPU proxies, so the
+    # timing loop forces a real round-trip through the full computation
+    fwd = jax.jit(lambda prm, p_, v_, m_: seq_fwd(prm, p_, v_, m_)[0].sum())
 
     t0 = time.perf_counter()
-    out = fwd(params, positions, values, mask)
-    out.block_until_ready()
+    float(fwd(params, positions, values, mask))
     compile_s = time.perf_counter() - t0
 
     for _ in range(args.warmup):
-        fwd(params, positions, values, mask)[0].block_until_ready()
+        float(fwd(params, positions, values, mask))
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        fwd(params, positions, values, mask)[0].block_until_ready()
+        float(fwd(params, positions, values, mask))
     dt = (time.perf_counter() - t0) / args.iters
 
     pts_per_sec = args.frames * args.points / dt

@@ -111,8 +111,9 @@ class SemanticKittiDataset:
 
     def __init__(self, split: str, loader_config: dict, model_config: dict,
                  sequence_learning: bool, max_points: int = 131072,
-                 seed: int | None = None):
+                 seed: int | None = None, use_native: bool = True):
         lc = loader_config
+        self.use_native = use_native
         self.split = split
         self.data_dir = lc["dataset_path"]
         self.include_moving = lc.get("include_moving_classes", False)
@@ -182,6 +183,38 @@ class SemanticKittiDataset:
             last = c
         raise IndexError(index)
 
+    def _native_frames(self, seq, scan_ids, is_training):
+        """Parallel C++ per-frame load (native/kitti_loader.cpp); returns
+        the same (clouds, labels, refl, paths) as the NumPy path or None."""
+        from . import native_loader
+        if native_loader.get_lib() is None or self.debug_loader:
+            return None
+        paths = [os.path.join(self.data_dir, "sequences", f"{seq:02d}",
+                              "velodyne", f"{sid:06d}.bin") for sid in scan_ids]
+        label_paths = None
+        if self.split not in ("test",):
+            label_paths = [os.path.join(self.data_dir, "sequences",
+                                        f"{seq:02d}", "labels",
+                                        f"{sid:06d}.label") for sid in scan_ids]
+        if self.world_frame:
+            poses = self._poses(seq)
+            pose_list = [poses[sid] for sid in scan_ids]
+            inv_first = np.linalg.inv(poses[scan_ids[0]])
+        else:
+            pose_list, inv_first = None, None
+        cap = self.cap_distance if is_training else -1
+        mind = self.min_distance if is_training else -1
+        out = native_loader.load_frames(
+            paths, label_paths, self.remap_lut, pose_list, inv_first,
+            cap, mind, self.max_points)
+        if out is None:
+            return None
+        xyz, refl, labels, counts = out
+        clouds = [np.ascontiguousarray(xyz[i, :counts[i]]) for i in range(len(paths))]
+        labels_seq = [labels[i, :counts[i]].copy() for i in range(len(paths))]
+        refl_seq = [refl[i, :counts[i]].copy() for i in range(len(paths))]
+        return clouds, labels_seq, refl_seq, paths
+
     def __getitem__(self, index: int) -> list[FrameBatch]:
         if self.debug_loader:
             index = 4541 + 1101 + 4661 + 801 + 200
@@ -189,6 +222,19 @@ class SemanticKittiDataset:
         is_training = self.split == "train"
 
         seq, scan_ids = self._locate(index)
+
+        native = self._native_frames(seq, scan_ids, is_training) \
+            if self.use_native else None
+        if native is not None:
+            clouds, labels_seq, refl_seq, paths = native
+            if self.shuffle_points and is_training:
+                for i in range(len(clouds)):
+                    perm = self.rng.permutation(clouds[i].shape[0])
+                    clouds[i] = clouds[i][perm]
+                    labels_seq[i] = labels_seq[i][perm]
+                    refl_seq[i] = refl_seq[i][perm]
+            return self._finalize(clouds, labels_seq, refl_seq, paths)
+
         poses = self._poses(seq) if self.world_frame else None
         first_pose = poses[scan_ids[0]] if self.world_frame else None
         rot_x = rotation_matrix(-90, "x")
@@ -234,6 +280,10 @@ class SemanticKittiDataset:
             refl_seq.append(refl.astype(np.float32))
             paths.append(path)
 
+        return self._finalize(clouds, labels_seq, refl_seq, paths)
+
+    def _finalize(self, clouds, labels_seq, refl_seq, paths) -> list[FrameBatch]:
+        """Shared tail: augmentation, feature assembly, accumulate, padding."""
         extras = [[l, r] for l, r in zip(labels_seq, refl_seq)]
         clouds, extras = self.transformer.transform(clouds, extras)
         labels_seq = [e[0] for e in extras]
@@ -242,11 +292,12 @@ class SemanticKittiDataset:
         frames = []
         for xyz, label, refl, path in zip(clouds, labels_seq, refl_seq, paths):
             if self.feature_mode == "reflectance":
-                vals = refl[:, None]
+                vals = refl.reshape(-1, 1)
             else:
                 vals = np.ones((xyz.shape[0], 1), np.float32)
-            frames.append((xyz.astype(np.float32), vals.astype(np.float32),
-                           label.astype(np.int32), path))
+            frames.append((np.asarray(xyz, np.float32),
+                           np.asarray(vals, np.float32),
+                           np.asarray(label, np.int32), path))
 
         if self.accumulate_clouds:
             xyz = np.concatenate([f[0] for f in frames])
