@@ -62,9 +62,13 @@ def make_datasets(parser: cfgParser, cfg: ModelConfig, rt: RuntimeConfig,
                   splits=("train", "valid")):
     lc = parser.get_loader_vars()
     mc = parser.get_model_vars()
+    if parser._dataset_name() == "parislille":
+        from ..data.parislille import ParisLille3DDataset
+        ds_cls = ParisLille3DDataset
+    else:
+        ds_cls = SemanticKittiDataset
     return {
-        s: SemanticKittiDataset(s, lc, mc, cfg.sequence_learning,
-                                max_points=rt.max_points)
+        s: ds_cls(s, lc, mc, cfg.sequence_learning, max_points=rt.max_points)
         for s in splits
     }
 
