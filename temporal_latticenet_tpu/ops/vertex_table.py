@@ -2,25 +2,21 @@
 ``latticenet.HashTable`` (imported at
 ``/root/reference/seq_lattice/lattice_modules.py:7``).
 
-Design: an open-addressing hash table expressed entirely in XLA ops -- a
-(H,) slot->stable-index array with linear probing, where each probe step is
-a batched gather + compare and inserts are race-free via a scatter-min
-"claim" pass (deterministic winner = lowest candidate row id).  This keeps
-the reference's data structure *shape* (hash + probe, insert-on-miss) while
-replacing CUDA atomics with XLA's deterministic scatter combinators, and it
-avoids TPU ``sort`` entirely (bitonic sorts of ~5e5-row key sets dominated
-the first, sort-based implementation of this module).
+Design (see SURVEY.md section 7.1): instead of a GPU hashmap we keep a
+fixed-capacity array of lattice keys in **stable (insertion) order** plus a
+lexicographically **sorted view** used for O(log C) batched binary-search
+lookups.  Insertion is append-only, which reproduces the reference's
+temporal invariant -- the hashmap is *not* reset between frames of a
+sequence, so existing vertex indices never move and the vertex set only
+grows (`/root/reference/seq_lattice/models.py:286-289`).
 
-Semantics preserved from the reference:
-* insertion is append-only -- the hashmap is *not* reset between frames of
-  a sequence, so existing vertex indices never move and the vertex set only
-  grows (`/root/reference/seq_lattice/models.py:286-289`);
-* stable slot 0 is reserved as the "invalid" bucket: rows whose insertion
-  failed (overflow / probe exhaustion) map to it and its features are
-  forced to zero, mirroring "index -1 -> row 0 -> zeroed"
-  (`/root/reference/seq_lattice/lattice_modules.py:479-480,569-570`).
+Stable slot 0 is reserved as the "invalid" bucket: rows of the distribute
+output whose insertion failed map to it and its features are forced to zero,
+mirroring the reference's "index -1 -> row 0 -> zeroed" convention
+(`/root/reference/seq_lattice/lattice_modules.py:479-480,569-570`).
 
-All shapes are static; the vertex count is a traced scalar.
+All shapes are static; the vertex count is a traced scalar.  Everything here
+runs under jit on TPU (and on the CPU backend for tests).
 """
 
 from __future__ import annotations
@@ -30,16 +26,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Padding key coordinate; never a real key.  A plain numpy scalar on purpose:
-# a jnp constant here would initialise the JAX backend at import time.
+# Plain numpy scalar on purpose: a jnp constant here would initialise the
+# JAX backend at import time.
 SENTINEL = np.int32(2**31 - 1)
-
-MAX_PROBES = 16
-_SLOTS_PER_CAPACITY = 4  # load factor <= 0.25 keeps probe chains ~1
-
-
-def _hash_capacity(capacity: int) -> int:
-    return 1 << int(np.ceil(np.log2(max(_SLOTS_PER_CAPACITY * capacity, 64))))
 
 
 @flax.struct.dataclass
@@ -47,14 +36,18 @@ class VertexTable:
     """Fixed-capacity set of integer lattice keys with stable indices.
 
     Attributes:
-      keys:           (C, d) int32, indexed by stable index.  Unused slots
-                      (and reserved slot 0) hold SENTINEL coordinates.
-      slot_to_stable: (H,) int32 hash slot -> stable index, -1 when empty.
-      count:          () int32, used stable slots *including* reserved 0.
+      keys:             (C, d) int32, indexed by stable index.  Unused slots
+                        (and reserved slot 0) hold SENTINEL coordinates.
+      sorted_keys:      (C, d) int32, the same keys in lexicographic order
+                        (sentinel rows sort last).
+      sorted_to_stable: (C,) int32 mapping sorted position -> stable index.
+      count:            () int32, number of used stable slots *including*
+                        the reserved slot 0.
     """
 
     keys: jax.Array
-    slot_to_stable: jax.Array
+    sorted_keys: jax.Array
+    sorted_to_stable: jax.Array
     count: jax.Array
 
     @property
@@ -65,66 +58,69 @@ class VertexTable:
     def dim(self) -> int:
         return self.keys.shape[1]
 
-    @property
-    def hash_capacity(self) -> int:
-        return self.slot_to_stable.shape[0]
-
 
 def make_table(capacity: int, d: int = 3) -> VertexTable:
     """Fresh empty table; slot 0 pre-reserved as the invalid bucket."""
+    keys = jnp.full((capacity, d), SENTINEL, dtype=jnp.int32)
     return VertexTable(
-        keys=jnp.full((capacity, d), SENTINEL, dtype=jnp.int32),
-        slot_to_stable=jnp.full((_hash_capacity(capacity),), -1, jnp.int32),
+        keys=keys,
+        sorted_keys=keys,
+        sorted_to_stable=jnp.arange(capacity, dtype=jnp.int32),
         count=jnp.int32(1),
     )
 
 
-def _hash_keys(keys: jax.Array, h_cap: int) -> jax.Array:
-    """Multiplicative mixing hash of (Q, d) int32 keys -> (Q,) slot ids."""
-    u = keys.astype(jnp.uint32)
-    h = u[:, 0] * jnp.uint32(0x9E3779B1)
-    h ^= u[:, 1] * jnp.uint32(0x85EBCA77)
-    h ^= u[:, 2] * jnp.uint32(0xC2B2AE3D)
-    h ^= h >> 15
-    h *= jnp.uint32(0x27D4EB2F)
-    h ^= h >> 13
-    return (h & jnp.uint32(h_cap - 1)).astype(jnp.int32)
+def _lex_less(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Lexicographic a < b over the last axis (int32 keys)."""
+    out = a[..., -1] < b[..., -1]
+    for i in range(a.shape[-1] - 2, -1, -1):
+        out = (a[..., i] < b[..., i]) | ((a[..., i] == b[..., i]) & out)
+    return out
+
+
+def _sort_with_payload(keys: jax.Array, payload: jax.Array):
+    """Lexicographically sort (Q, d) keys carrying an int payload."""
+    d = keys.shape[-1]
+    operands = tuple(keys[:, i] for i in range(d)) + (payload,)
+    out = jax.lax.sort(operands, dimension=0, num_keys=d)
+    return jnp.stack(out[:d], axis=-1), out[d]
 
 
 def lookup(table: VertexTable, queries: jax.Array) -> jax.Array:
-    """Batched probe of (Q, d) query keys.
+    """Batched lower-bound binary search of (Q, d) query keys.
 
-    Returns (Q,) int32 stable indices, or -1 where absent.  Sentinel
-    (padding) queries always return -1.
+    Returns (Q,) int32 stable indices, or -1 where the key is absent.
+    Sentinel queries (padding) always return -1.
     """
-    h_cap = table.hash_capacity
-    base = _hash_keys(queries, h_cap)
-    valid = queries[:, 0] != SENTINEL
+    cap = table.capacity
+    q = queries.shape[0]
+    n_iter = max(1, (cap).bit_length())
+    lo = jnp.zeros((q,), jnp.int32)
+    hi = jnp.full((q,), cap, jnp.int32)
 
-    def body(k, state):
-        idx, open_ = state
-        slot = (base + k) & (h_cap - 1)
-        s = table.slot_to_stable[slot]
-        key_s = table.keys[jnp.maximum(s, 0)]
-        match = (s >= 0) & jnp.all(key_s == queries, axis=-1)
-        idx = jnp.where(open_ & match, s, idx)
-        open_ &= ~match & (s >= 0)  # empty slot => key absent, stop
-        return idx, open_
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        mid_keys = table.sorted_keys[mid]
+        less = _lex_less(mid_keys, queries)
+        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
 
-    idx0 = jnp.full(queries.shape[0], -1, jnp.int32)
-    idx, _ = jax.lax.fori_loop(0, MAX_PROBES, body, (idx0, valid))
-    return jnp.where(valid, idx, -1)
+    lo, _ = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    pos = jnp.minimum(lo, cap - 1)
+    hit = jnp.all(table.sorted_keys[pos] == queries, axis=-1)
+    hit &= queries[:, 0] != SENTINEL
+    return jnp.where(hit, table.sorted_to_stable[pos], -1)
 
 
 def union_and_index(table: VertexTable, cand_keys: jax.Array,
                     cand_valid: jax.Array):
     """Insert candidate keys (append-only) and index every candidate row.
 
-    The growth step of distribute/coarsen.  Race-free parallel insertion:
-    at each probe step, unresolved candidates targeting an empty slot
-    "claim" it via a scatter-min of their row id; the winning row appends
-    its key (index = running count + rank-among-winners) and equal-key
-    losers adopt the winner's index in the same step.
+    This is the growth step of distribute/coarsen: the TPU analog of the
+    CUDA hash insert performed per point-simplex pair
+    (`/root/reference/seq_lattice/lattice_modules.py:479-480` observes its
+    -1-on-failure contract).  Deterministic: new unique keys are appended in
+    lexicographic order.
 
     Args:
       table:      current VertexTable.
@@ -132,59 +128,60 @@ def union_and_index(table: VertexTable, cand_keys: jax.Array,
       cand_valid: (Q,) bool; invalid rows are ignored and indexed 0.
 
     Returns:
-      (new_table, row_idx): row_idx (Q,) int32 stable index per candidate,
-      0 for invalid rows and rows dropped on overflow/probe exhaustion.
+      (new_table, row_idx) where row_idx is (Q,) int32 stable index per
+      candidate row; 0 (the invalid bucket) for invalid rows and for rows
+      dropped because the table overflowed.
     """
     qn, d = cand_keys.shape
     cap = table.capacity
-    h_cap = table.hash_capacity
-    int_max = jnp.int32(2**31 - 1)
 
     keys = jnp.where(cand_valid[:, None], cand_keys, SENTINEL)
-    base = _hash_keys(keys, h_cap)
+
+    # Sort candidates so duplicates become adjacent runs.
     row_ids = jnp.arange(qn, dtype=jnp.int32)
+    skeys, sorder = _sort_with_payload(keys, row_ids)
 
-    def body(k, state):
-        tbl_keys, slots, count, idx, open_ = state
-        slot = (base + k) & (h_cap - 1)
-        s = slots[slot]
-        key_s = tbl_keys[jnp.maximum(s, 0)]
-        match = (s >= 0) & jnp.all(key_s == keys, axis=-1)
-        idx = jnp.where(open_ & match, s, idx)
-        open_ = open_ & ~match
+    is_valid = skeys[:, 0] != SENTINEL
+    prev_same = jnp.concatenate(
+        [jnp.zeros((1,), bool),
+         jnp.all(skeys[1:] == skeys[:-1], axis=-1)])
+    head = is_valid & ~prev_same  # first occurrence of each unique key
 
-        # claim empty slots: lowest row id wins
-        want = open_ & (s < 0)
-        claim = jnp.full((h_cap,), int_max, jnp.int32).at[
-            jnp.where(want, slot, h_cap)].min(row_ids, mode="drop")
-        winner = want & (claim[slot] == row_ids)
+    # Which unique keys already exist?
+    found = lookup(table, skeys)  # (-1 where new); only heads matter
+    is_new = head & (found < 0)
 
-        rank = jnp.cumsum(winner.astype(jnp.int32)) - 1
-        stable = count + rank
-        ok = winner & (stable < cap)
-        stable = jnp.where(ok, stable, 0)
+    # Append new unique keys in sorted order.
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    new_stable = table.count + new_rank
+    overflow = new_stable >= cap
+    new_stable = jnp.where(is_new & ~overflow, new_stable, 0)
 
-        # append winners
-        tbl_keys = tbl_keys.at[jnp.where(ok, stable, cap)].set(keys, mode="drop")
-        slots = slots.at[jnp.where(ok, slot, h_cap)].set(stable, mode="drop")
-        count = jnp.minimum(count + jnp.sum(winner.astype(jnp.int32)), cap)
+    head_stable = jnp.where(is_new, new_stable, jnp.maximum(found, 0))
 
-        idx = jnp.where(ok, stable, idx)
-        open_ = open_ & ~winner  # winners (incl. dropped) are done
+    # Propagate each run head's stable index to the whole run.
+    run_id = jnp.cumsum(head.astype(jnp.int32)) - 1
+    runs = jnp.zeros((qn,), jnp.int32).at[jnp.where(head, run_id, qn)].set(
+        head_stable, mode="drop")
+    sorted_idx = jnp.where(is_valid, runs[jnp.maximum(run_id, 0)], 0)
 
-        # equal-key losers resolve against the freshly written slot
-        s2 = slots[slot]
-        key_s2 = tbl_keys[jnp.maximum(s2, 0)]
-        match2 = (s2 >= 0) & jnp.all(key_s2 == keys, axis=-1)
-        idx = jnp.where(open_ & match2, s2, idx)
-        open_ = open_ & ~match2
-        return tbl_keys, slots, count, idx, open_
+    # Scatter back to the original candidate order.
+    row_idx = jnp.zeros((qn,), jnp.int32).at[sorder].set(sorted_idx)
 
-    idx0 = jnp.zeros(qn, jnp.int32)
-    state = (table.keys, table.slot_to_stable, table.count, idx0, cand_valid)
-    tbl_keys, slots, count, idx, open_ = jax.lax.fori_loop(
-        0, MAX_PROBES, body, state)
+    # Update the stable key array (out-of-range scatter indices are dropped).
+    scatter_at = jnp.where(is_new & ~overflow, new_stable, cap)
+    new_keys = table.keys.at[scatter_at].set(skeys, mode="drop")
+    n_added = jnp.sum((is_new & ~overflow).astype(jnp.int32))
+    new_count = jnp.minimum(table.count + n_added, cap)
 
-    row_idx = jnp.where(cand_valid & ~open_, jnp.maximum(idx, 0), 0)
-    new_table = VertexTable(keys=tbl_keys, slot_to_stable=slots, count=count)
+    # Refresh the sorted view (one C-sized sort; C is small, ~1e5).
+    stable_ids = jnp.arange(cap, dtype=jnp.int32)
+    sorted_keys, sorted_to_stable = _sort_with_payload(new_keys, stable_ids)
+
+    new_table = VertexTable(
+        keys=new_keys,
+        sorted_keys=sorted_keys,
+        sorted_to_stable=sorted_to_stable,
+        count=new_count,
+    )
     return new_table, row_idx

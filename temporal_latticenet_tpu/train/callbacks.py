@@ -121,3 +121,52 @@ class WandBCallback(Callback):
             mean_iou = phase.scores.avg_class_iou()
             self.wandb.log({f"{phase.name}_iou": mean_iou,
                             f"{phase.name}_best_iou": phase.scores.best_iou})
+
+
+class PlotCallback(Callback):
+    """Headless replacement for the reference's visdom loss curves
+    (callbacks/visdom_callback.py:4-19, callbacks/vis.py:10-49): collects
+    smoothed per-step losses and writes matplotlib PNGs + a CSV at each
+    epoch end."""
+
+    def __init__(self, out_dir: str = "./plots", smooth: float = 0.9):
+        self.out_dir = out_dir
+        self.smooth = smooth
+        self.series: dict = {}
+
+    def _log(self, name, value):
+        s = self.series.setdefault(name, {"raw": [], "smoothed": [], "ema": None})
+        ema = value if s["ema"] is None else (
+            self.smooth * s["ema"] + (1 - self.smooth) * value)
+        s["ema"] = ema
+        s["raw"].append(float(value))
+        s["smoothed"].append(float(ema))
+
+    def after_forward_pass(self, *, phase=None, loss=0.0, lr=0.0, **kw):
+        if phase is not None and phase.grad:
+            self._log("loss", loss)
+            self._log("lr", lr)
+
+    def epoch_ended(self, *, phase=None, **kw):
+        if phase is None or not self.series:
+            return
+        os.makedirs(self.out_dir, exist_ok=True)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            plt = None
+        import csv
+        for name, s in self.series.items():
+            with open(os.path.join(self.out_dir, f"{name}.csv"), "w") as f:
+                w = csv.writer(f)
+                w.writerows(enumerate(s["raw"]))
+            if plt is not None:
+                fig, ax = plt.subplots(figsize=(7, 4))
+                ax.plot(s["raw"], alpha=0.3, label="raw")
+                ax.plot(s["smoothed"], label="smoothed")
+                ax.set_title(name)
+                ax.legend()
+                fig.savefig(os.path.join(self.out_dir, f"{name}.png"), dpi=110)
+                plt.close(fig)
