@@ -61,3 +61,38 @@ def test_export_aflow_arrays(tmp_path):
     data = np.load(str(tmp_path / "aflow.npz"))
     assert "avg_position_per_vertex" in data
     assert any("aflow_weights" in k for k in keys)
+
+
+def test_prepare_cloud_modes():
+    from temporal_latticenet_tpu.models.io_utils import Cloud, prepare_cloud
+    rng = np.random.default_rng(0)
+    c = Cloud(V=rng.normal(size=(10, 3)), C=rng.random((10, 3)),
+              I=rng.random((10, 1)), L_gt=rng.integers(0, 5, (10, 1)))
+    p, v, t = prepare_cloud(c, "xyz", "reflectance")
+    assert p.shape == (10, 3) and v.shape == (10, 1) and t.shape == (10,)
+    p2, v2, _ = prepare_cloud(c, "xyz+rgb", "rgb+height")
+    assert p2.shape == (10, 6) and v2.shape == (10, 4)
+    p3, v3, _ = prepare_cloud(c, "xyz+intensity", "none")
+    assert p3.shape == (10, 4) and (v3 == 0).all()
+
+
+def test_model_summary(capsys):
+    import io
+    from temporal_latticenet_tpu.models.io_utils import summary
+    params = {"params": {"a": {"kernel": np.zeros((3, 4))},
+                         "b": {"bias": np.zeros(7)}}}
+    buf = io.StringIO()
+    total = summary(params, file=buf)
+    assert total == 19
+    assert "TOTAL: 19" in buf.getvalue()
+
+
+def test_plot_callback(tmp_path):
+    from temporal_latticenet_tpu.train.callbacks import Phase, PlotCallback
+    cb = PlotCallback(out_dir=str(tmp_path))
+    phase = Phase("train", None, grad=True)
+    for i in range(5):
+        cb.after_forward_pass(phase=phase, loss=1.0 / (i + 1), lr=0.001)
+    cb.epoch_ended(phase=phase)
+    assert (tmp_path / "loss.csv").exists()
+    assert (tmp_path / "loss.png").exists()
