@@ -96,3 +96,24 @@ def test_plot_callback(tmp_path):
     cb.epoch_ended(phase=phase)
     assert (tmp_path / "loss.csv").exists()
     assert (tmp_path / "loss.png").exists()
+
+
+def test_record_plys_renders(tmp_path):
+    """End-to-end headless rendering from a synthetic KITTI layout."""
+    import record_plys
+    rng = np.random.default_rng(0)
+    seq_dir = tmp_path / "data" / "sequences" / "08"
+    (seq_dir / "velodyne").mkdir(parents=True)
+    (seq_dir / "labels").mkdir()
+    pred_dir = tmp_path / "preds" / "sequences" / "08" / "predictions"
+    pred_dir.mkdir(parents=True)
+    for s in range(2):
+        pts = rng.normal(size=(200, 4)).astype(np.float32) * 5
+        pts.tofile(seq_dir / "velodyne" / f"{s:06d}.bin")
+        np.full(200, 10, np.uint32).tofile(seq_dir / "labels" / f"{s:06d}.label")
+        rng.integers(0, 20, 200).astype(np.uint32).tofile(
+            pred_dir / f"{s:06d}.label")
+    record_plys.run(str(tmp_path / "data"), 8, str(tmp_path / "preds"),
+                    str(tmp_path / "out"), count=2)
+    import os
+    assert len(os.listdir(tmp_path / "out")) == 2
