@@ -142,3 +142,41 @@ def test_gradients_flow_through_sequence(rng):
     gru_total = sum(float(jnp.abs(l).sum())
                     for l in jax.tree_util.tree_leaves(gru_grads))
     assert gru_total > 0
+
+
+@pytest.mark.parametrize("experiment", [
+    "slice_no_deform", "pointnet_no_elevate", "pointnet_no_local_mean",
+    "pointnet_no_elevate_no_local_mean", "splat", "attention_pool",
+])
+def test_experiment_ablations(rng, experiment):
+    """The reference's experiment ablation strings (models.py:39) must all
+    produce a working forward.  Early fusion stays "none": the splat /
+    no-elevate / attention-pool variants change the reduced feature width,
+    which the reference's fixed-width early fusion cells cannot take either.
+    """
+    cfg = tiny_cfg(rnn_modules=("none", "gru", "none", "none"),
+                   experiment=experiment)
+    frames = _frames(rng, t=2)
+    logp, sv, state, aux = run_sequence(cfg, TINY_RT, frames)
+    assert np.isfinite(np.asarray(logp)[:100]).all()
+
+
+def test_invalid_experiment_rejected():
+    import pytest as _pytest
+    from temporal_latticenet_tpu.config import ModelConfig
+    with _pytest.raises(ValueError):
+        ModelConfig(experiment="bogus")
+
+
+def test_all_none_fusion_rejected():
+    import pytest as _pytest
+    from temporal_latticenet_tpu.config import ModelConfig
+    with _pytest.raises(ValueError):
+        ModelConfig(rnn_modules=("none", "none", "none", "none"))
+
+
+def test_unknown_fusion_coerced_to_none():
+    """models.py:51-54: unknown rnn_modules strings coerce to "none"."""
+    from temporal_latticenet_tpu.config import ModelConfig
+    cfg = ModelConfig(rnn_modules=("gru", "whatever", "AFLOW", "GRU"))
+    assert cfg.rnn_modules == ("gru", "none", "aflow", "gru")
