@@ -114,11 +114,31 @@ def make_table(capacity: int, d: int = 3) -> VertexTable:
 
 
 def lookup_packed(table: VertexTable, q: jax.Array) -> jax.Array:
-    """(Q,) packed queries -> (Q,) stable indices or -1."""
-    pos = jnp.searchsorted(table.sorted_packed, q, side="left")
-    pos = jnp.minimum(pos, table.capacity - 1).astype(jnp.int32)
-    hit = (table.sorted_packed[pos] == q) & (q != PACKED_SENTINEL)
-    return jnp.where(hit, table.sorted_to_stable[pos], -1)
+    """(Q,) packed queries -> (Q,) stable indices or -1.
+
+    Merge-based: one (C+Q) single-key sort + an associative scan, instead of
+    a binary search whose log2(C) *dependent* random gathers are the slowest
+    access pattern on TPU (measured 94 ms vs 40 ms for Q=5e5, C=6.5e4).
+    """
+    n_t = table.capacity
+    n_q = q.shape[0]
+    keys = jnp.concatenate([table.sorted_packed, q])
+    payload = jnp.concatenate([table.sorted_to_stable,
+                               jnp.arange(n_q, dtype=jnp.int32) + n_t])
+    sk, sp = jax.lax.sort((keys, payload), dimension=0, num_keys=2)
+    # payload orders table entries (payload < n_t... not necessarily, stable
+    # ids < C = n_t) before queries (>= n_t) within equal-key runs
+    is_table = sp < n_t
+    pos = jnp.arange(n_t + n_q, dtype=jnp.int32)
+    last_tpos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_table, pos, -1))
+    same = (last_tpos >= 0) & (sk[jnp.maximum(last_tpos, 0)] == sk)
+    found = jnp.where(same, sp[jnp.maximum(last_tpos, 0)], -1)
+    found = jnp.where(sk == PACKED_SENTINEL, -1, found)
+    # scatter query results back to query order
+    out = jnp.full((n_q,), -1, jnp.int32).at[
+        jnp.where(is_table, n_q, sp - n_t)].set(found, mode="drop")
+    return out
 
 
 def lookup(table: VertexTable, queries: jax.Array) -> jax.Array:
@@ -149,48 +169,59 @@ def union_and_index(table: VertexTable, cand_keys: jax.Array,
     """
     qn = cand_keys.shape[0]
     cap = table.capacity
+    n = cap + qn
 
     packed = pack_keys(jnp.where(cand_valid[:, None], cand_keys, SENTINEL))
 
-    # Sort candidates once so duplicates become adjacent runs.
-    row_ids = jnp.arange(qn, dtype=jnp.int32)
-    spacked, sorder = jax.lax.sort((packed, row_ids), dimension=0, num_keys=1)
+    # ONE combined (C+Q) sort does everything: duplicates become runs, and a
+    # run that contains a table entry has it first (its payload, the stable
+    # id < cap, sorts before candidate payloads >= cap).
+    keys = jnp.concatenate([table.sorted_packed, packed])
+    payload = jnp.concatenate([table.sorted_to_stable,
+                               jnp.arange(qn, dtype=jnp.int32) + cap])
+    sk, sp = jax.lax.sort((keys, payload), dimension=0, num_keys=2)
 
-    is_valid = spacked != PACKED_SENTINEL
-    head = is_valid & jnp.concatenate(
-        [jnp.ones((1,), bool), spacked[1:] != spacked[:-1]])
+    is_table = sp < cap
+    is_cand = ~is_table
+    valid = sk != PACKED_SENTINEL
+    head = valid & jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
 
-    found = lookup_packed(table, spacked)
-    is_new = head & (found < 0)
+    # A candidate that heads its run has no equal table entry => new key.
+    is_new = head & is_cand
 
-    # Append new unique keys in ascending packed order.
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     new_stable = table.count + new_rank
-    overflow = new_stable >= cap
-    new_stable = jnp.where(is_new & ~overflow, new_stable, 0)
+    ok = is_new & (new_stable < cap)
+    new_stable = jnp.where(ok, new_stable, 0)
 
-    head_stable = jnp.where(is_new, new_stable, jnp.maximum(found, 0))
-
-    # Propagate each run head's stable index to the whole run.
+    # Each run head's stable index (table entry's id or the freshly
+    # assigned one), propagated to the whole run.
+    head_stable = jnp.where(is_table, sp, new_stable)
     run_id = jnp.cumsum(head.astype(jnp.int32)) - 1
-    runs = jnp.zeros((qn,), jnp.int32).at[jnp.where(head, run_id, qn)].set(
+    runs = jnp.zeros((n,), jnp.int32).at[jnp.where(head, run_id, n)].set(
         head_stable, mode="drop")
-    sorted_idx = jnp.where(is_valid, runs[jnp.maximum(run_id, 0)], 0)
+    resolved = jnp.where(valid, runs[jnp.maximum(run_id, 0)], 0)
 
-    # Back to the original candidate order.
-    row_idx = jnp.zeros((qn,), jnp.int32).at[sorder].set(sorted_idx)
+    # Scatter candidate resolutions back to original row order.
+    row_idx = jnp.zeros((qn,), jnp.int32).at[
+        jnp.where(is_cand, sp - cap, qn)].set(resolved, mode="drop")
 
-    # Update stable arrays (out-of-range scatters dropped).
-    scatter_at = jnp.where(is_new & ~overflow, new_stable, cap)
-    new_keys = table.keys.at[scatter_at].set(unpack_keys(spacked), mode="drop")
-    new_packed = table.packed.at[scatter_at].set(spacked, mode="drop")
-    n_added = jnp.sum((is_new & ~overflow).astype(jnp.int32))
+    # Stable-order arrays: append the new unique keys.
+    scatter_at = jnp.where(ok, new_stable, cap)
+    new_keys = table.keys.at[scatter_at].set(unpack_keys(sk), mode="drop")
+    new_packed = table.packed.at[scatter_at].set(sk, mode="drop")
+    n_added = jnp.sum(ok.astype(jnp.int32))
     new_count = jnp.minimum(table.count + n_added, cap)
 
-    # Refresh the sorted view: one single-operand uint32 sort of C rows.
-    stable_ids = jnp.arange(cap, dtype=jnp.int32)
-    sorted_packed, sorted_to_stable = jax.lax.sort(
-        (new_packed, stable_ids), dimension=0, num_keys=1)
+    # Sorted view rebuilt by compaction from the already-sorted combined
+    # array -- no extra sort.  Kept rows: existing table entries + new keys.
+    keep = (is_table & valid) | ok
+    kpos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dst = jnp.where(keep & (kpos < cap), kpos, cap)
+    sorted_packed = jnp.full((cap,), PACKED_SENTINEL, jnp.uint32).at[
+        dst].set(sk, mode="drop")
+    sorted_to_stable = jnp.zeros((cap,), jnp.int32).at[dst].set(
+        jnp.where(is_table, sp, new_stable), mode="drop")
 
     new_table = VertexTable(
         keys=new_keys,
