@@ -140,7 +140,7 @@ class LNNSeq(nn.Module):
         pc[0] = tables[0].count
 
         if (not final) and seq and cut <= 0:
-            return None, pack_state(), {}
+            return None, pack_state(), {"point_vertex": dist.point_vertex}
 
         # ---- down path ---------------------------------------------------
         nbrs = [nbr0]
@@ -167,7 +167,7 @@ class LNNSeq(nn.Module):
                                           nbrs[0])
                     pc[1] = counts[0]
                 if (not final) and seq and cut <= 1:
-                    return None, pack_state(), {}
+                    return None, pack_state(), {"point_vertex": dist.point_vertex}
 
             # coarsen onto level i+1 (growing its carried table)
             tables[i + 1], link = lo.grow_coarse_table(tables[i], tables[i + 1])
@@ -188,7 +188,7 @@ class LNNSeq(nn.Module):
             lv, h[2] = fusions[1](lv, h[2], pc[2], counts[L], is_first, nbrs[L])
             pc[2] = counts[L]
         if (not final) and seq and cut <= 2:
-            return None, pack_state(), {}
+            return None, pack_state(), {"point_vertex": dist.point_vertex}
 
         # ---- up path -----------------------------------------------------
         aux = {}
@@ -209,7 +209,7 @@ class LNNSeq(nn.Module):
                                           nbrs[0])
                     pc[3] = counts[0]
                 if not final and seq:
-                    return None, pack_state(), {}
+                    return None, pack_state(), {"point_vertex": dist.point_vertex}
 
             if cfg.apply_all_up_resnets and i < L - 1:
                 for j in range(cfg.nr_blocks_up_stage[i]):
@@ -239,4 +239,5 @@ class LNNSeq(nn.Module):
                              deterministic)
         logp = jax.nn.log_softmax(sv, axis=-1)
         aux["nr_vertices"] = counts[0]
+        aux["point_vertex"] = dist.point_vertex
         return (logp, sv), pack_state(), aux
