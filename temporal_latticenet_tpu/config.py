@@ -221,6 +221,9 @@ class ModelConfig:
     # only the last up-stage's resnet blocks run (models.py:435 sits outside
     # the upsample loop).  Set True for the "fixed" architecture.
     apply_all_up_resnets: bool = False
+    # matmul/gather precision of the lattice convolutions (f32 accumulate);
+    # bfloat16 halves the dominant neighborhood-gather traffic on TPU
+    compute_dtype: str = "bfloat16"
 
     def __post_init__(self):
         if self.experiment not in VALID_EXPERIMENTS:
@@ -303,6 +306,7 @@ def model_config_from_cfg(parser: cfgParser, nr_classes: int) -> ModelConfig:
         train_alpha_beta=m.get("train_alpha_beta", True),
         use_center=m.get("use_center", True),
         frames_per_seq=(loader["frames_per_seq"] if m["sequence_learning"] else 1),
+        compute_dtype=parser.get_runtime_vars().get("compute_dtype", "bfloat16"),
     )
 
 

@@ -151,11 +151,11 @@ class LNNSeq(nn.Module):
         for i in range(L):
             for j in range(cfg.nr_blocks_down_stage[i]):
                 if i < cfg.nr_levels_down_with_normal_resnet:
-                    lv = ResnetBlock(cur, (False, False),
+                    lv = ResnetBlock(cur, (False, False), dtype=cfg.compute_dtype,
                                      name=f"resnet_blocks_per_down_lvl_list_{i}_{j}")(
                                          lv, nbrs[i], counts[i], deterministic)
                 else:
-                    lv = BottleneckBlock(cur, (False, False, False),
+                    lv = BottleneckBlock(cur, (False, False, False), dtype=cfg.compute_dtype,
                                          name=f"resnet_blocks_per_down_lvl_list_{i}_{j}")(
                                              lv, nbrs[i], counts[i], deterministic)
             skip_values.append(lv)
@@ -175,12 +175,13 @@ class LNNSeq(nn.Module):
             nbrs.append(lo.build_neighbor_table(tables[i + 1]))
             counts.append(tables[i + 1].count)
             cur = int(cur * 2 * cfg.compression_factor)
-            lv = GnReluCoarsen(cur, name=f"coarsens_list_{i}")(
+            lv = GnReluCoarsen(cur, dtype=cfg.compute_dtype,
+                               name=f"coarsens_list_{i}")(
                 lv, counts[i], link, nbrs[i + 1], counts[i + 1], deterministic)
 
         # ---- bottleneck --------------------------------------------------
         for j in range(cfg.nr_blocks_bottleneck):
-            lv = BottleneckBlock(cur, (False, False, False),
+            lv = BottleneckBlock(cur, (False, False, False), dtype=cfg.compute_dtype,
                                  name=f"resnet_blocks_bottleneck_{j}")(
                                      lv, nbrs[L], counts[L], deterministic)
 
@@ -197,7 +198,8 @@ class LNNSeq(nn.Module):
             fine_v = skip_values.pop()
             fine_c = skip_counts.pop()
             nf = cur // 2
-            up = GnReluFinefy(nf, name=f"finefy_list_{i}")(
+            up = GnReluFinefy(nf, dtype=cfg.compute_dtype,
+                              name=f"finefy_list_{i}")(
                 lv, counts[lvl + 1], nbrs[lvl + 1], links[lvl],
                 counts[lvl], deterministic)
             lv = jnp.concatenate([up, fine_v], axis=-1)
@@ -213,7 +215,7 @@ class LNNSeq(nn.Module):
 
             if cfg.apply_all_up_resnets and i < L - 1:
                 for j in range(cfg.nr_blocks_up_stage[i]):
-                    lv = ResnetBlock(cur, (False, False),
+                    lv = ResnetBlock(cur, (False, False), dtype=cfg.compute_dtype,
                                      name=f"resnet_blocks_per_up_lvl_list_{i}_{j}")(
                                          lv, nbrs[lvl], counts[lvl], deterministic)
 
@@ -223,11 +225,11 @@ class LNNSeq(nn.Module):
         for j in range(cfg.nr_blocks_up_stage[i]):
             is_last_conv = j == cfg.nr_blocks_up_stage[i] - 1
             if i >= L - cfg.nr_levels_up_with_normal_resnet:
-                lv = ResnetBlock(cur, (False, is_last_conv),
+                lv = ResnetBlock(cur, (False, is_last_conv), dtype=cfg.compute_dtype,
                                  name=f"resnet_blocks_per_up_lvl_list_{i}_{j}")(
                                      lv, nbrs[0], counts[0], deterministic)
             else:
-                lv = BottleneckBlock(cur, (False, False, is_last_conv),
+                lv = BottleneckBlock(cur, (False, False, is_last_conv), dtype=cfg.compute_dtype,
                                      name=f"resnet_blocks_per_up_lvl_list_{i}_{j}")(
                                          lv, nbrs[0], counts[0], deterministic)
 

@@ -130,5 +130,6 @@ class PointNetSeq(nn.Module):
         reduced = lo.mask_rows(reduced, count)  # zero the invalid bucket
 
         lv = LatticeConv(cfg.pointnet_start_nr_channels, use_bias=False,
+                         dtype=cfg.compute_dtype,
                          name="last_conv")(reduced, nbr, count)
         return lv, new_h
