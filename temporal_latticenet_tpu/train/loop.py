@@ -144,6 +144,15 @@ def run_training(config_file: str, max_steps: int | None = None,
                     ignore_index=ignore_index, lr=lr_scale)
 
                 steps_done += 1
+                # periodic fault-tolerance checkpoint (weights + optimiser +
+                # step): the failure-recovery layer the reference lacks
+                # (SURVEY.md 5.3 -- crash = lost run there)
+                every = train_cfg.get("save_every_n_steps", 0)
+                if (phase.grad and every and steps_done % every == 0
+                        and train_cfg.get("save_checkpoint")):
+                    ckpt.save(os.path.join(train_cfg["checkpoint_path"],
+                                           "latest.ckpt"),
+                              state.params, state.opt_state, int(state.step))
                 if max_steps is not None and steps_done >= max_steps:
                     break
 
