@@ -44,7 +44,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=120_000)
     ap.add_argument("--max-points", type=int, default=131_072)
-    ap.add_argument("--capacity", type=int, default=65_536)
+    ap.add_argument("--capacity", type=int, default=98_304)
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
@@ -52,7 +52,7 @@ def main():
 
     rt = RuntimeConfig(max_points=args.max_points,
                        capacity_level0=args.capacity,
-                       capacity_decay=0.75, min_capacity=8192, sigma=0.6)
+                       capacity_decay=0.5, min_capacity=8192, sigma=0.6)
     cfg = FLAGSHIP
     model = LNNSeq(cfg, rt)
     seq_fwd = make_sequence_forward(model, cfg, rt)

@@ -264,11 +264,13 @@ class RuntimeConfig:
     maps to ``capacity_level0``)."""
 
     max_points: int = 131072           # static per-frame point padding
-    capacity_level0: int = 65536       # vertex capacity at the finest level
+    # the reference sizes its hashtable at 100k (lnn_train cfg:71); measured
+    # synthetic occupancy overflows 65536 at sigma 0.6, so default higher
+    capacity_level0: int = 98304       # vertex capacity at the finest level
     # coarse levels hold ~1/4 the vertices for dense clouds but all-corner
     # splat can briefly exceed that on sparse regions; 0.75 is conservative
-    capacity_decay: float = 0.75       # capacity_level[i+1] = decay * level[i]
-    min_capacity: int = 4096
+    capacity_decay: float = 0.5        # capacity_level[i+1] = decay * level[i]
+    min_capacity: int = 8192
     sigma: float = 0.6
     compute_dtype: str = "float32"
 
