@@ -56,21 +56,18 @@ def run(config_file: str, checkpoint: str | None, out_dir: str,
 
     seq_state = init_state(cfg, rt)
     os.makedirs(out_dir, exist_ok=True)
+    import jax.numpy as jnp
     for t, f in enumerate(frames):
         final = t == len(frames) - 1
-        import jax.numpy as jnp
-        (ret, seq_state, _), aux = apply_aux(
+        (ret, seq_state, frame_aux), sown = apply_aux(
             state.params, jnp.asarray(f.positions), jnp.asarray(f.values),
             jnp.asarray(f.mask), seq_state, final)
         if t == 0:
             continue  # first frame has no cross-frame attention
-        # point_vertex of this frame for vertex placement
-        from temporal_latticenet_tpu.ops import lattice_ops as lo
-        from temporal_latticenet_tpu.ops import vertex_table as vt
+        point_vertex = np.asarray(frame_aux["point_vertex"])
         keys = vis.export_aflow_arrays(
-            os.path.join(out_dir, f"aflow_frame{t}.npz"), aux["aux"],
-            f.positions[f.mask], np.zeros((int(f.mask.sum()), 4), np.int32),
-            rt.capacity_level0)
+            os.path.join(out_dir, f"aflow_frame{t}.npz"), sown.get("aux", {}),
+            f.positions, point_vertex, rt.capacity_level0)
         print(f"frame {t}: wrote {len(keys)} arrays")
 
     if render:
