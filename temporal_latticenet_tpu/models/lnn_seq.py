@@ -99,7 +99,11 @@ class LNNSeq(nn.Module):
 
     @nn.compact
     def __call__(self, positions, values, mask, state: SeqState,
-                 final: bool = True, deterministic: bool = True):
+                 final: bool = True, deterministic: bool = True, pre=None):
+        """``pre``, when given, is (SeqLattice, DistributeOut-for-this-frame)
+        from ``ops.seq_lattice.build_sequence_lattice``: the whole sequence's
+        tables/neighbors/links were built in one pass and this frame only
+        runs the network (see seq_lattice.py)."""
         cfg, rt = self.cfg, self.rt
         L = cfg.nr_downsamples
         is_first = state.t == 0
@@ -121,32 +125,45 @@ class LNNSeq(nn.Module):
                                        name=f"recurrent_fusion_modules_{i-1}")
                            if kind != "none" else None)
 
-        # ---- distribute + PointNet head (+ early fusion) -----------------
+        # ---- lattice structure for this frame -----------------------------
         # named scopes mirror the reference's TIME_START labels
         # (models.py:302,313,389) for jax.profiler traces
         with jax.named_scope("distribute"):
-            subtract_mean = cfg.experiment not in (
-                "pointnet_no_local_mean", "pointnet_no_elevate_no_local_mean")
-            tables[0], dist = lo.distribute(
-                tables[0], positions, mask, rt.sigma,
-                subtract_local_mean=subtract_mean)
-            nbr0 = lo.build_neighbor_table(tables[0])
+            if pre is not None:
+                seqlat, dist = pre
+                t = state.t
+                nbrs = [seqlat.frame_nbr(l, t) for l in range(L + 1)]
+                links = list(seqlat.links)
+                counts = [seqlat.levels[l].counts[t] for l in range(L + 1)]
+            else:
+                subtract_mean = cfg.experiment not in (
+                    "pointnet_no_local_mean",
+                    "pointnet_no_elevate_no_local_mean")
+                tables[0], dist = lo.distribute(
+                    tables[0], positions, mask, rt.sigma,
+                    subtract_local_mean=subtract_mean)
+                nbrs = [lo.build_neighbor_table(tables[0])]
+                links = []
+                counts = [tables[0].count]
+                for i in range(L):
+                    tables[i + 1], link = lo.grow_coarse_table(
+                        tables[i], tables[i + 1])
+                    links.append(link)
+                    nbrs.append(lo.build_neighbor_table(tables[i + 1]))
+                    counts.append(tables[i + 1].count)
         values_rows = jnp.repeat(values, 4, axis=0) * dist.row_valid[:, None]
 
         with jax.named_scope("pointnet"):
             lv, h[0] = PointNetSeq(cfg, name="point_net_seq")(
-                dist, values_rows, nbr0, tables[0].count, h[0], pc[0],
+                dist, values_rows, nbrs[0], counts[0], h[0], pc[0],
                 is_first, deterministic)
-        pc[0] = tables[0].count
+        pc[0] = counts[0]
 
         if (not final) and seq and cut <= 0:
             return None, pack_state(), {"point_vertex": dist.point_vertex}
 
         # ---- down path ---------------------------------------------------
-        nbrs = [nbr0]
-        links = []
         skip_values, skip_counts = [], []
-        counts = [tables[0].count]
         cur = cfg.pointnet_start_nr_channels
         for i in range(L):
             for j in range(cfg.nr_blocks_down_stage[i]):
@@ -169,15 +186,12 @@ class LNNSeq(nn.Module):
                 if (not final) and seq and cut <= 1:
                     return None, pack_state(), {"point_vertex": dist.point_vertex}
 
-            # coarsen onto level i+1 (growing its carried table)
-            tables[i + 1], link = lo.grow_coarse_table(tables[i], tables[i + 1])
-            links.append(link)
-            nbrs.append(lo.build_neighbor_table(tables[i + 1]))
-            counts.append(tables[i + 1].count)
+            # coarsen onto level i+1 (table/link built in the setup phase)
             cur = int(cur * 2 * cfg.compression_factor)
             lv = GnReluCoarsen(cur, dtype=cfg.compute_dtype,
                                name=f"coarsens_list_{i}")(
-                lv, counts[i], link, nbrs[i + 1], counts[i + 1], deterministic)
+                lv, counts[i], links[i], nbrs[i + 1], counts[i + 1],
+                deterministic)
 
         # ---- bottleneck --------------------------------------------------
         for j in range(cfg.nr_blocks_bottleneck):

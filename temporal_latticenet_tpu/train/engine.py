@@ -50,12 +50,54 @@ class SeqBatch(NamedTuple):
                         take("labels"), take("mask"))
 
 
-def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig):
-    """Single-sequence forward: (params, frames(T,P,...)) -> (logp, aux)."""
+def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
+                          precompute: bool = True):
+    """Single-sequence forward: (params, frames(T,P,...)) -> (logp, aux).
+
+    With ``precompute=True`` (default) the whole sequence's lattice is built
+    in one birth-tagged pass (ops/seq_lattice.py) and the per-frame scan
+    only runs the network -- ~50% of sequence time in the streaming path was
+    repeated table construction.  ``precompute=False`` keeps the streaming
+    per-frame path (exactly what online inference uses)."""
+
+    from ..ops import lattice_ops as lo
+    from ..ops import seq_lattice as sl
+
+    subtract_mean = cfg.experiment not in (
+        "pointnet_no_local_mean", "pointnet_no_elevate_no_local_mean")
+    caps = rt.capacities(cfg.nr_downsamples)
 
     def seq_forward(params, positions, values, mask, deterministic=True):
         state = init_state(cfg, rt)
         t = positions.shape[0]
+
+        if precompute:
+            seqlat = sl.build_sequence_lattice(
+                positions, mask, rt.sigma, caps, cfg.nr_downsamples,
+                subtract_local_mean=subtract_mean)
+
+            full_dist = lo.DistributeOut(
+                row_vertex=seqlat.row_vertex, row_bary=seqlat.row_bary,
+                row_rel_pos=seqlat.row_rel_pos, row_valid=seqlat.row_valid,
+                point_vertex=seqlat.point_vertex,
+                point_bary=seqlat.point_bary)  # all fields (T, ...)
+
+            if t > 1:
+                def body(carry, xs):
+                    v, m, d = xs
+                    _, carry, _ = model.apply(
+                        params, None, v, m, carry, final=False,
+                        deterministic=deterministic, pre=(seqlat, d))
+                    return carry, ()
+                xs = (values[:-1], mask[:-1],
+                      jax.tree_util.tree_map(lambda a: a[:-1], full_dist))
+                state, _ = jax.lax.scan(body, state, xs)
+            last_dist = jax.tree_util.tree_map(lambda a: a[-1], full_dist)
+            (logp, sv), state, aux = model.apply(
+                params, None, values[-1], mask[-1], state, final=True,
+                deterministic=deterministic, pre=(seqlat, last_dist))
+            return logp, sv, aux
+
         if t > 1:
             def body(carry, inp):
                 p, v, m = inp
