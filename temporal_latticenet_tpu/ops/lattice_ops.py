@@ -149,15 +149,20 @@ def mask_rows(values: jax.Array, count) -> jax.Array:
     return jnp.where(keep[:, None], values, 0.0)
 
 
-def gather_rowified(values: jax.Array, nbr: NeighborTable) -> jax.Array:
+def gather_rowified(values: jax.Array, nbr: NeighborTable,
+                    apply_mask: bool = False) -> jax.Array:
     """Im2row: (C, K*Cin) matrix of each vertex's neighborhood features.
 
     Missing neighbors contribute zeros (the CUDA im2row's behaviour for
-    -1 indices).  ``values`` must satisfy the mask_rows invariant.
+    -1 indices) WITHOUT an explicit mask multiply: absent neighbors index
+    slot 0 and out-of-frame neighbors index rows >= count, both of which are
+    exactly zero under the mask_rows invariant.  Pass ``apply_mask=True``
+    only for value arrays that do not satisfy the invariant.
     """
     cap = values.shape[0]
     g = values[nbr.idx]                                  # (C, K, Cin)
-    g = g * nbr.found[..., None]
+    if apply_mask:
+        g = g * nbr.found[..., None]
     return g.reshape(cap, -1)
 
 
