@@ -1,0 +1,63 @@
+"""Training-step throughput at SemanticKITTI scale (forward + BPTT backward
++ AdamW update for a full 4-frame sequence)."""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=120_000)
+    ap.add_argument("--capacity", type=int, default=98_304)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+    from temporal_latticenet_tpu.data.synthetic import synthetic_sequence
+    from temporal_latticenet_tpu.train import engine
+
+    rt = RuntimeConfig(max_points=131072, capacity_level0=args.capacity,
+                       capacity_decay=0.5, min_capacity=8192, sigma=0.6)
+    cfg = ModelConfig(nr_classes=26, rnn_modules=("gru", "gru", "aflow", "gru"),
+                      frames_per_seq=4)
+
+    model, state, tx = engine.create_train_state(cfg, rt, 1e-3, 1e-3)
+    train_step, _ = engine.make_train_step(model, cfg, rt, tx)
+
+    rng = np.random.default_rng(0)
+    p, v, l, m = synthetic_sequence(rng, 4, args.points, rt.max_points)
+    batch = engine.SeqBatch(jnp.asarray(p)[None], jnp.asarray(v)[None],
+                            jnp.asarray(l)[None], jnp.asarray(m)[None])
+
+    t0 = time.perf_counter()
+    state, logp, metrics = train_step(state, batch, 1.0)
+    loss = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+    print(f"compile+first step: {compile_s:.1f}s loss={loss:.4f}", flush=True)
+
+    ts = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        state, logp, metrics = train_step(state, batch, 1.0)
+        float(metrics["loss"])
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts)
+    print(json.dumps({
+        "metric": "semantickitti_4frame_train_step",
+        "value": round(4 * args.points / dt, 1),
+        "unit": "points/sec/chip",
+        "seconds_per_step": dt,
+        "compile_seconds": compile_s,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

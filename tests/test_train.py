@@ -90,3 +90,34 @@ def test_data_parallel_batch_sharding(rng):
     state, logp, metrics = train_step(state, batch, 1.0)
     assert np.isfinite(float(metrics["loss"]))
     assert logp.shape == (8, 64, 5)
+
+
+def test_data_parallel_matches_single_device(rng):
+    """The sharded 8-device train step must produce the same loss and the
+    same updated parameters as an unsharded run on the identical batch."""
+    from temporal_latticenet_tpu.parallel import mesh as pmesh
+
+    cfg = tiny_cfg(rnn_modules=("gru", "none", "none", "none"),
+                   frames_per_seq=2)
+    rt = RuntimeConfig(max_points=64, capacity_level0=512,
+                       capacity_decay=1.0, min_capacity=256, sigma=0.6)
+    batch = _batch(rng, b=8, t=2, n=40, p=64)
+
+    model, state0, tx = engine.create_train_state(cfg, rt, 1e-3, 1e-3)
+    train_step, _ = engine.make_train_step(model, cfg, rt, tx)
+
+    # unsharded
+    s1, _, m1 = train_step(state0, batch, 1.0)
+
+    # sharded across the dp mesh
+    m = pmesh.make_mesh(8)
+    sharded = pmesh.shard_batch(m, batch)
+    state_r = engine.TrainState(pmesh.replicate(m, state0.params),
+                                pmesh.replicate(m, state0.opt_state),
+                                state0.step)
+    s2, _, m2 = train_step(state_r, sharded, 1.0)
+
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
