@@ -51,14 +51,18 @@ class SeqBatch(NamedTuple):
 
 
 def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
-                          precompute: bool = True):
+                          precompute: bool = True, remat: bool = False):
     """Single-sequence forward: (params, frames(T,P,...)) -> (logp, aux).
 
     With ``precompute=True`` (default) the whole sequence's lattice is built
     in one birth-tagged pass (ops/seq_lattice.py) and the per-frame scan
     only runs the network -- ~50% of sequence time in the streaming path was
     repeated table construction.  ``precompute=False`` keeps the streaming
-    per-frame path (exactly what online inference uses)."""
+    per-frame path (exactly what online inference uses).
+
+    ``remat=True`` checkpoints each frame's network for BPTT: the backward
+    pass recomputes per-frame activations instead of keeping every conv's
+    gathered neighborhoods live (which overflows HBM at full scale)."""
 
     from ..ops import lattice_ops as lo
     from ..ops import seq_lattice as sl
@@ -66,6 +70,9 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
     subtract_mean = cfg.experiment not in (
         "pointnet_no_local_mean", "pointnet_no_elevate_no_local_mean")
     caps = rt.capacities(cfg.nr_downsamples)
+
+    def _maybe_remat(fn):
+        return jax.checkpoint(fn) if remat else fn
 
     def seq_forward(params, positions, values, mask, deterministic=True):
         state = init_state(cfg, rt)
@@ -83,27 +90,42 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                 point_bary=seqlat.point_bary)  # all fields (T, ...)
 
             if t > 1:
-                def body(carry, xs):
-                    v, m, d = xs
+                @_maybe_remat
+                def step_trim(carry, v, m, d):
                     _, carry, _ = model.apply(
                         params, None, v, m, carry, final=False,
                         deterministic=deterministic, pre=(seqlat, d))
-                    return carry, ()
+                    return carry
+
+                def body(carry, xs):
+                    v, m, d = xs
+                    return step_trim(carry, v, m, d), ()
                 xs = (values[:-1], mask[:-1],
                       jax.tree_util.tree_map(lambda a: a[:-1], full_dist))
                 state, _ = jax.lax.scan(body, state, xs)
             last_dist = jax.tree_util.tree_map(lambda a: a[-1], full_dist)
-            (logp, sv), state, aux = model.apply(
-                params, None, values[-1], mask[-1], state, final=True,
-                deterministic=deterministic, pre=(seqlat, last_dist))
+
+            @_maybe_remat
+            def step_final(carry, v, m, d):
+                (logp, sv), carry, aux = model.apply(
+                    params, None, v, m, carry, final=True,
+                    deterministic=deterministic, pre=(seqlat, d))
+                return logp, sv, carry, aux
+
+            logp, sv, state, aux = step_final(state, values[-1], mask[-1],
+                                              last_dist)
             return logp, sv, aux
 
         if t > 1:
-            def body(carry, inp):
-                p, v, m = inp
+            @_maybe_remat
+            def step_stream(carry, p, v, m):
                 _, carry, _ = model.apply(params, p, v, m, carry, final=False,
                                           deterministic=deterministic)
-                return carry, ()
+                return carry
+
+            def body(carry, inp):
+                p, v, m = inp
+                return step_stream(carry, p, v, m), ()
             state, _ = jax.lax.scan(
                 body, state, (positions[:-1], values[:-1], mask[:-1]))
         (logp, sv), state, aux = model.apply(
@@ -150,7 +172,9 @@ def create_train_state(cfg: ModelConfig, rt: RuntimeConfig, lr: float,
 
 def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                     ignore_index: int = 0):
-    seq_fwd = make_sequence_forward(model, cfg, rt)
+    # remat: recompute per-frame activations in the BPTT backward; without it
+    # the saved conv neighborhoods overflow HBM at full SemanticKITTI scale
+    seq_fwd = make_sequence_forward(model, cfg, rt, remat=True)
 
     def loss_one(params, positions, values, labels, mask):
         logp, sv, aux = seq_fwd(params, positions, values, mask,
