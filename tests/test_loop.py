@@ -182,3 +182,28 @@ def test_checkpoint_roundtrip(tiny_world, tmp_path):
     b = jax.tree_util.tree_leaves(restored["params"])
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_run_training_accumulate_clouds(tiny_world):
+    """accumulate_clouds=true: the window concatenates into one cloud and
+    trains as a single-frame sequence (BASELINE.json config 2)."""
+    tmp_path, cfg_path = tiny_world
+    text = open(cfg_path).read().replace("accumulate_clouds: false",
+                                         "accumulate_clouds: true")
+    text = text.replace("max_points: 64", "max_points: 128")
+    acc_path = tmp_path / "cfg_accum.cfg"
+    acc_path.write_text(text)
+
+    from temporal_latticenet_tpu.config import (cfgParser,
+                                                model_config_from_cfg,
+                                                nr_classes_from_cfg,
+                                                runtime_config_from_cfg)
+    parser = cfgParser(str(acc_path))
+    cfg = model_config_from_cfg(parser, nr_classes_from_cfg(parser))
+    rt = runtime_config_from_cfg(parser)
+    datasets = _patch_lengths(tloop.make_datasets(parser, cfg, rt))
+    frames = datasets["train"][1]
+    assert len(frames) == 1 and frames[0].n_points == 80  # 2 scans x 40 pts
+
+    state = tloop.run_training(str(acc_path), max_steps=2, datasets=datasets)
+    assert state is not None
