@@ -69,16 +69,24 @@ class PointNetSeq(nn.Module):
 
         no_elevate = experiment in (
             "pointnet_no_elevate", "pointnet_no_elevate_no_local_mean", "splat")
+        cd = jnp.dtype(cfg.compute_dtype)
         if not no_elevate:
+            # the MLP runs over P*4 rows -- HBM-bound, so compute_dtype
+            # (bf16) halves the traffic; weights stay f32 in params
+            x = x.astype(cd)
             for i, width in enumerate(cfg.pointnet_layers):
                 fan_in = x.shape[-1]
                 k = self.param(f"layers_{i}_kernel", _kaiming_normal_fan_in(fan_in),
                                (fan_in, width))
                 b = self.param(f"layers_{i}_bias", _uniform(1.0 / math.sqrt(fan_in)),
                                (width,))
-                x = jnp.dot(x, k, preferred_element_type=jnp.float32) + b
+                x = (jnp.dot(x, k.astype(cd),
+                             preferred_element_type=jnp.float32)
+                     + b).astype(cd)
                 if i < len(cfg.pointnet_layers) - 1:
                     x = jax.nn.relu(x)
+            # reductions stay in compute_dtype too (the scatter is the
+            # expensive part); results return to f32 below
 
         counts = jax.ops.segment_sum(rvalid.astype(jnp.float32), rid,
                                      num_segments=cap)
@@ -106,6 +114,7 @@ class PointNetSeq(nn.Module):
             reduced = jnp.where((counts >= 4)[:, None], reduced, 0.0)
         else:
             mx, arg = seg.segment_max_with_argmax(x, rid, cap, rvalid)
+            mx = mx.astype(jnp.float32)
             bary_sel = jnp.where(arg >= 0, dist.row_bary[jnp.maximum(arg, 0)], 0.0)
             reduced = jnp.concatenate([mx, bary_sel], axis=-1)
             is_early_maxpool = (cfg.sequence_learning

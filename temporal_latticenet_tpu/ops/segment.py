@@ -39,7 +39,7 @@ def segment_max_with_argmax(data, segment_ids, num_segments, valid=None):
 
     Returns: (maxval (S, C), argmax (S, C) int32 with -1 for empty).
     """
-    neg = jnp.float32(-jnp.inf)
+    neg = jnp.asarray(-jnp.inf, data.dtype)
     masked = data if valid is None else jnp.where(valid[:, None], data, neg)
     mx = jax.ops.segment_max(masked, segment_ids, num_segments=num_segments)
     has = jnp.isfinite(mx)
