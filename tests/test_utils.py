@@ -117,3 +117,41 @@ def test_record_plys_renders(tmp_path):
                     str(tmp_path / "out"), count=2)
     import os
     assert len(os.listdir(tmp_path / "out")) == 2
+
+
+def test_evaluate_semantics_pipeline(tmp_path):
+    """Predictions written by our eval + this evaluator reproduce a known
+    IoU, including the inverse-remap round trip (submission pipeline)."""
+    import evaluate_semantics
+    from temporal_latticenet_tpu.data import kitti_meta
+    rng = np.random.default_rng(0)
+    seq_dir = tmp_path / "data" / "sequences" / "08"
+    (seq_dir / "labels").mkdir(parents=True)
+    pred_dir = tmp_path / "preds" / "sequences" / "08" / "predictions"
+    pred_dir.mkdir(parents=True)
+
+    n = 500
+    gt_train = rng.choice([1, 9, 13], n)          # car/road/building
+    inv = kitti_meta.build_inverse_lut(True)
+    gt_raw = inv[gt_train].astype(np.uint32)
+    gt_raw.tofile(seq_dir / "labels" / "000000.label")
+
+    pred = gt_train.copy()
+    pred[:100] = 9                                # corrupt 100 points to road
+    pred.astype(np.uint32).tofile(pred_dir / "000000.label")
+
+    avg, per_class = evaluate_semantics.run(
+        str(tmp_path / "data"), str(tmp_path / "preds"), split="valid")
+    assert 0.3 < avg < 1.0
+    assert per_class[9] < 1.0  # road polluted by false positives
+
+    # inverse remap converts the file to raw ids; evaluating as raw matches
+    avg2, _ = evaluate_semantics.run(
+        str(tmp_path / "data"), str(tmp_path / "preds"), split="valid",
+        remap_inverse=True)
+    raw_after = np.fromfile(pred_dir / "000000.label", dtype=np.uint32)
+    assert set(np.unique(raw_after)) <= set(inv.tolist())
+    avg3, _ = evaluate_semantics.run(
+        str(tmp_path / "data"), str(tmp_path / "preds"), split="valid",
+        pred_format="raw")
+    assert np.isclose(avg, avg3)
