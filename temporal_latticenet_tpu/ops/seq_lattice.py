@@ -30,6 +30,7 @@ import jax.numpy as jnp
 
 from . import permutohedral as pm
 from .vertex_table import (PACKED_SENTINEL, SENTINEL, pack_keys, unpack_keys)
+from .mxu_lookup import mxu_lookup_positions
 from .lattice_ops import LevelLink, NeighborTable
 
 
@@ -159,11 +160,11 @@ def _build_level(packed_final, birth_final, counts, n_frames):
     n_off = offs.shape[0]
     queries = (keys[:, None, :] + offs[None, :, :]).reshape(cap * n_off, 3)
     qpacked = pack_keys(queries)
-    # sort the table once for the merge lookups
+    # sort the table once, then batched MXU lookups (no random gathers)
     stable = jnp.arange(cap, dtype=jnp.int32)
     s_packed, s_stable = jax.lax.sort((packed_final, stable), dimension=0,
                                       num_keys=1)
-    pos = _merge_lookup(s_packed, qpacked).reshape(cap, n_off)
+    pos = mxu_lookup_positions(s_packed, qpacked).reshape(cap, n_off)
     nbr = jnp.where(pos >= 0, s_stable[jnp.maximum(pos, 0)], -1)
 
     valid_self = packed_final != PACKED_SENTINEL
