@@ -40,8 +40,11 @@ def mxu_lookup_positions(sorted_packed: jax.Array, q: jax.Array,
     ``sorted_packed``: (C,) uint32 ascending with PACKED_SENTINEL padding;
     C must be a multiple of 128 (vertex capacities are powers of two).
     """
-    c = sorted_packed.shape[0]
-    assert c % LANE == 0, "table capacity must be a multiple of 128"
+    c_orig = sorted_packed.shape[0]
+    c = _ceil_to(c_orig, LANE)
+    if c != c_orig:
+        sorted_packed = jnp.full((c,), PACKED_SENTINEL, jnp.uint32
+                                 ).at[:c_orig].set(sorted_packed)
     r = c // LANE
     tbl = sorted_packed.reshape(r, LANE)
     heads = tbl[:, 0]                                   # (R,)

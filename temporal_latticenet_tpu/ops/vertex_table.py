@@ -116,29 +116,13 @@ def make_table(capacity: int, d: int = 3) -> VertexTable:
 def lookup_packed(table: VertexTable, q: jax.Array) -> jax.Array:
     """(Q,) packed queries -> (Q,) stable indices or -1.
 
-    Merge-based: one (C+Q) single-key sort + an associative scan, instead of
-    a binary search whose log2(C) *dependent* random gathers are the slowest
-    access pattern on TPU (measured 94 ms vs 40 ms for Q=5e5, C=6.5e4).
+    MXU-based (ops/mxu_lookup.py): one-hot matmul row selection instead of
+    random gathers or a (C+Q) merge sort -- measured ~3x faster in-graph at
+    Q=9e5, C=1e5.
     """
-    n_t = table.capacity
-    n_q = q.shape[0]
-    keys = jnp.concatenate([table.sorted_packed, q])
-    payload = jnp.concatenate([table.sorted_to_stable,
-                               jnp.arange(n_q, dtype=jnp.int32) + n_t])
-    sk, sp = jax.lax.sort((keys, payload), dimension=0, num_keys=2)
-    # payload orders table entries (payload < n_t... not necessarily, stable
-    # ids < C = n_t) before queries (>= n_t) within equal-key runs
-    is_table = sp < n_t
-    pos = jnp.arange(n_t + n_q, dtype=jnp.int32)
-    last_tpos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(is_table, pos, -1))
-    same = (last_tpos >= 0) & (sk[jnp.maximum(last_tpos, 0)] == sk)
-    found = jnp.where(same, sp[jnp.maximum(last_tpos, 0)], -1)
-    found = jnp.where(sk == PACKED_SENTINEL, -1, found)
-    # scatter query results back to query order
-    out = jnp.full((n_q,), -1, jnp.int32).at[
-        jnp.where(is_table, n_q, sp - n_t)].set(found, mode="drop")
-    return out
+    from .mxu_lookup import mxu_lookup_positions
+    pos = mxu_lookup_positions(table.sorted_packed, q)
+    return jnp.where(pos >= 0, table.sorted_to_stable[jnp.maximum(pos, 0)], -1)
 
 
 def lookup(table: VertexTable, queries: jax.Array) -> jax.Array:
