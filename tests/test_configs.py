@@ -1,0 +1,39 @@
+"""The shipped seq_config files must parse into valid typed configs."""
+
+import pytest
+
+from temporal_latticenet_tpu.config import (cfgParser, model_config_from_cfg,
+                                            nr_classes_from_cfg,
+                                            runtime_config_from_cfg)
+
+CFGS = [
+    ("seq_config/lnn_train_semantic_kitti.cfg", 26, ("gru", "gru", "aflow", "gru")),
+    ("seq_config/lnn_eval_semantic_kitti.cfg", 26, ("gru", "gru", "aflow", "gru")),
+    ("seq_config/lnn_train_paris_lille.cfg", 12, ("gru", "gru", "aflow", "gru")),
+    ("seq_config/lnn_eval_paris_lille.cfg", 12, ("gru", "gru", "aflow", "gru")),
+]
+
+
+@pytest.mark.parametrize("path,classes,modules", CFGS)
+def test_shipped_configs_parse(path, classes, modules):
+    p = cfgParser(path)
+    nc = nr_classes_from_cfg(p)
+    assert nc == classes
+    cfg = model_config_from_cfg(p, nc)
+    assert cfg.rnn_modules == modules
+    assert cfg.frames_per_seq == 4
+    rt = runtime_config_from_cfg(p)
+    assert rt.sigma == 0.6
+    assert rt.capacity_level0 == 98304
+    caps = rt.capacities(cfg.nr_downsamples)
+    assert len(caps) == 3 and caps[0] >= caps[1] >= caps[2]
+    # every capacity must be a lane multiple for the MXU lookup
+    assert all(c % 128 == 0 for c in caps)
+
+
+def test_label_mngr_sections():
+    p = cfgParser("seq_config/lnn_train_semantic_kitti.cfg")
+    lm = p.get_label_mngr_vars()
+    assert lm["unlabeled_idx"] == 0
+    tr = p.get_transformer_vars()
+    assert tr["random_mirror_x"] is True
