@@ -65,3 +65,23 @@ def test_combined_loss(rng):
     np.testing.assert_allclose(float(total),
                                0.5 * float(parts["lovasz"]) + 0.5 * float(parts["nll"]),
                                rtol=1e-6)
+
+
+def test_lovasz_hard_predictions_equal_one_minus_iou(rng):
+    """Known property of the Lovasz extension: for hard (0/1) predictions it
+    equals 1 - IoU of the class (Berman et al., prop. 1)."""
+    t = np.array([1, 1, 1, 0, 0, 2, 2, 2])
+    pred = np.array([1, 1, 2, 0, 1, 2, 2, 2])  # some class-1/2 errors
+    p = np.eye(3, dtype=np.float32)[pred]
+    mask = np.ones(8, bool)
+    # evaluate per class by masking targets to a binary problem
+    got = float(lovasz_softmax(_logp(p), jnp.asarray(t), jnp.asarray(mask),
+                               ignore_index=-1))
+
+    def iou(c):
+        inter = ((pred == c) & (t == c)).sum()
+        union = ((pred == c) | (t == c)).sum()
+        return inter / union
+
+    want = np.mean([1 - iou(c) for c in [0, 1, 2]])
+    np.testing.assert_allclose(got, want, atol=1e-5)
