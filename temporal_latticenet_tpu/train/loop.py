@@ -104,7 +104,22 @@ def run_training(config_file: str, max_steps: int | None = None,
     cbs = [StateCallback()]
     if train_cfg.get("with_wandb"):
         cbs.append(WandBCallback("temporal_latticenet_tpu", parser.contents))
+    if train_cfg.get("with_visdom"):
+        from .callbacks import PlotCallback
+        cbs.append(PlotCallback(os.path.join(
+            train_cfg.get("checkpoint_path", "."), "plots")))
     cb = CallbacksGroup(cbs)
+
+    # core.debug_with_profiler: capture a jax.profiler trace of the first
+    # training steps (the reference gates an external C++ profiler on this
+    # flag, SURVEY.md 5.1)
+    profiler_dir = None
+    if parser.get_core_vars().get("debug_with_profiler"):
+        profiler_dir = os.path.join(
+            train_cfg.get("checkpoint_path", "."), "profile")
+        import jax as _jax
+        os.makedirs(profiler_dir, exist_ok=True)
+        _jax.profiler.start_trace(profiler_dir)
 
     phases = [Phase("train", datasets["train"], grad=True),
               Phase("valid", datasets["valid"], grad=False)]
@@ -173,6 +188,11 @@ def run_training(config_file: str, max_steps: int | None = None,
                            name=name)
         if max_steps is not None and steps_done >= max_steps:
             break
+        if profiler_dir is not None:
+            import jax as _jax
+            _jax.profiler.stop_trace()
+            print("profiler trace written to", profiler_dir)
+            profiler_dir = None
     return state
 
 
