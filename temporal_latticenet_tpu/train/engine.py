@@ -215,3 +215,34 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                       "nr_vertices": jnp.max(aux["nr_vertices"])}
 
     return train_step, eval_step
+
+
+def make_streaming_inference(model: LNNSeq, cfg: ModelConfig,
+                             rt: RuntimeConfig):
+    """Online (frame-at-a-time) inference: jitted step functions over the
+    streaming per-frame path -- the direct analog of the reference's
+    per-frame ``model(lattice, positions, values, early_return)`` call
+    (train_ln.py:175).
+
+    Returns (new_state_fn, step_fn, final_fn):
+      new_state_fn()                          -> fresh SeqState
+      step_fn(params, pos, vals, mask, state) -> state          (early_return)
+      final_fn(params, pos, vals, mask, state) -> (logp, sv, state, aux)
+    """
+
+    def new_state_fn():
+        return init_state(cfg, rt)
+
+    @jax.jit
+    def step_fn(params, positions, values, mask, state):
+        _, state, _ = model.apply(params, positions, values, mask, state,
+                                  final=False)
+        return state
+
+    @jax.jit
+    def final_fn(params, positions, values, mask, state):
+        (logp, sv), state, aux = model.apply(params, positions, values, mask,
+                                             state, final=True)
+        return logp, sv, state, aux
+
+    return new_state_fn, step_fn, final_fn

@@ -121,3 +121,28 @@ def test_data_parallel_matches_single_device(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_streaming_inference_api(rng):
+    """The online per-frame API matches the offline sequence forward."""
+    from tests.test_model import _frames
+    cfg = tiny_cfg()
+    rt = TINY_RT
+    model, state0, tx = engine.create_train_state(cfg, rt, 1e-3, 0.0)
+    frames = _frames(rng)
+
+    new_state, step, final = engine.make_streaming_inference(model, cfg, rt)
+    s = new_state()
+    for f in frames[:-1]:
+        s = step(state0.params, *f, s)
+    logp_stream, sv, s, aux = final(state0.params, *frames[-1], s)
+    assert int(s.t) == 3
+
+    seq_fwd = engine.make_sequence_forward(model, cfg, rt, precompute=True)
+    P = jnp.stack([f[0] for f in frames])
+    V = jnp.stack([f[1] for f in frames])
+    M = jnp.stack([f[2] for f in frames])
+    logp_off, _, _ = seq_fwd(state0.params, P, V, M)
+    valid = np.asarray(M[-1])
+    np.testing.assert_allclose(np.asarray(logp_stream)[valid],
+                               np.asarray(logp_off)[valid], atol=2e-3)
