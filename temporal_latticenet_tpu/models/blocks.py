@@ -71,14 +71,20 @@ class MaskedGroupNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: jax.Array, count) -> jax.Array:
+    def __call__(self, x: jax.Array, count, mask=None) -> jax.Array:
+        """``mask`` overrides the default [1, count) prefix validity -- used
+        when rows are point-rows with scattered validity (attention_pool),
+        so padding never enters the statistics."""
         cap, c = x.shape
         assert c == self.channels, (c, self.channels)
         groups = gn_num_groups(c)
         cpg = c // groups
 
-        rows = jnp.arange(cap, dtype=jnp.int32)
-        valid = (rows > 0) & (rows < count)
+        if mask is None:
+            rows = jnp.arange(cap, dtype=jnp.int32)
+            valid = (rows > 0) & (rows < count)
+        else:
+            valid = mask
         n = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
 
         xg = x.reshape(cap, groups, cpg)
@@ -93,7 +99,7 @@ class MaskedGroupNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
         y = y * scale + bias
-        return lo.mask_rows(y, count)
+        return jnp.where(valid[:, None], y, 0.0)
 
 
 class Conv1x1(nn.Module):
@@ -103,13 +109,15 @@ class Conv1x1(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: jax.Array, count) -> jax.Array:
+    def __call__(self, x: jax.Array, count, mask=None) -> jax.Array:
         c_in = x.shape[-1]
         bound = 1.0 / math.sqrt(c_in)
         kernel = self.param("kernel", _uniform(bound), (c_in, self.out_channels))
         y = jnp.dot(x, kernel, preferred_element_type=jnp.float32)
         if self.use_bias:
             y = y + self.param("bias", _uniform(bound), (self.out_channels,))
+        if mask is not None:
+            return jnp.where(mask[:, None], y, 0.0)
         return lo.mask_rows(y, count)
 
 
@@ -149,10 +157,11 @@ class GnRelu1x1(nn.Module):
     use_bias: bool = False
 
     @nn.compact
-    def __call__(self, x, count):
-        x = MaskedGroupNorm(x.shape[-1], name="gn")(x, count)
+    def __call__(self, x, count, mask=None):
+        x = MaskedGroupNorm(x.shape[-1], name="gn")(x, count, mask)
         x = jax.nn.relu(x)
-        return Conv1x1(self.out_channels, self.use_bias, name="conv")(x, count)
+        return Conv1x1(self.out_channels, self.use_bias,
+                       name="conv")(x, count, mask)
 
 
 class GnReluConv(nn.Module):

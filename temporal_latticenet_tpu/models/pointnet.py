@@ -103,10 +103,13 @@ class PointNetSeq(nn.Module):
                             (fan_in, fan_in))
             pre = jnp.dot(xm, pk, preferred_element_type=jnp.float32)
             # the attention branch's GnRelu1x1s operate on point-rows in the
-            # reference; here rows are points too (vertex norm stats replaced
-            # by row stats via count=R mask-free normalisation)
-            act = GnRelu1x1(fan_in, False, name="att_activ")(pre, pre.shape[0])
-            sc = GnRelu1x1(fan_in, True, name="att_scores")(act, act.shape[0])
+            # reference (lattice_modules.py:494-495, dynamic shapes = real
+            # rows only); here rows are padded, so pass the validity mask to
+            # keep padding out of the GroupNorm statistics
+            act = GnRelu1x1(fan_in, False, name="att_activ")(
+                pre, pre.shape[0], mask=rvalid)
+            sc = GnRelu1x1(fan_in, True, name="att_scores")(
+                act, act.shape[0], mask=rvalid)
             sc = jnp.exp(sc) * rvalid[:, None]
             ssum = jax.ops.segment_sum(sc, rid, num_segments=cap)
             sc = sc / jnp.maximum(ssum[rid], 1e-12)

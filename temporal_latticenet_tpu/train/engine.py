@@ -74,7 +74,13 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
     def _maybe_remat(fn):
         return jax.checkpoint(fn) if remat else fn
 
-    def seq_forward(params, positions, values, mask, deterministic=True):
+    def seq_forward(params, positions, values, mask, deterministic=True,
+                    rng=None):
+        # dropout (cfg.dropout_last_layer) only exists in the final-frame
+        # DeformSlice head (models.py:232 in the reference), so the rng is
+        # threaded to the final apply only; trimmed frames have no dropout.
+        rngs = (None if deterministic or rng is None
+                else {"dropout": rng})
         state = init_state(cfg, rt)
         t = positions.shape[0]
 
@@ -109,7 +115,8 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
             def step_final(carry, v, m, d):
                 (logp, sv), carry, aux = model.apply(
                     params, None, v, m, carry, final=True,
-                    deterministic=deterministic, pre=(seqlat, d))
+                    deterministic=deterministic, pre=(seqlat, d),
+                    rngs=rngs)
                 return logp, sv, carry, aux
 
             logp, sv, state, aux = step_final(state, values[-1], mask[-1],
@@ -130,7 +137,7 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                 body, state, (positions[:-1], values[:-1], mask[:-1]))
         (logp, sv), state, aux = model.apply(
             params, positions[-1], values[-1], mask[-1], state, final=True,
-            deterministic=deterministic)
+            deterministic=deterministic, rngs=rngs)
         return logp, sv, aux
 
     return seq_forward
@@ -176,22 +183,31 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
     # the saved conv neighborhoods overflow HBM at full SemanticKITTI scale
     seq_fwd = make_sequence_forward(model, cfg, rt, remat=True)
 
-    def loss_one(params, positions, values, labels, mask):
+    def loss_one(params, positions, values, labels, mask, rng=None):
+        # train path: stochastic dropout (the reference's model.train());
+        # eval path (rng=None) stays deterministic
         logp, sv, aux = seq_fwd(params, positions, values, mask,
-                                deterministic=True)
+                                deterministic=rng is None, rng=rng)
         loss, parts = segmentation_loss(logp, labels[-1], mask[-1], ignore_index)
         return loss, (logp, parts, aux)
 
-    def batch_loss(params, batch: SeqBatch):
+    def batch_loss(params, batch: SeqBatch, rng):
+        b = batch.positions.shape[0]
+        keys = jax.random.split(rng, b)
         losses, (logp, parts, aux) = jax.vmap(
-            loss_one, in_axes=(None, 0, 0, 0, 0))(
-                params, batch.positions, batch.values, batch.labels, batch.mask)
+            loss_one, in_axes=(None, 0, 0, 0, 0, 0))(
+                params, batch.positions, batch.values, batch.labels,
+                batch.mask, keys)
         return jnp.mean(losses), (logp, parts, aux)
+
+    base_key = jax.random.PRNGKey(0x5EED)
 
     @jax.jit
     def train_step(state: TrainState, batch: SeqBatch, lr_scale):
+        rng = jax.random.fold_in(base_key, state.step)
+
         def lfn(p):
-            return batch_loss(p, batch)
+            return batch_loss(p, batch, rng)
         (loss, (logp, parts, aux)), grads = jax.value_and_grad(
             lfn, has_aux=True)(state.params)
         opt_state = state.opt_state

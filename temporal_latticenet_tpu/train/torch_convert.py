@@ -184,15 +184,35 @@ def convert_state_dict(sd: Mapping, cfg) -> tuple[dict, dict]:
                 params[f"resnet_blocks_per_up_lvl_list_{i}_{j}"] = take(
                     lambda s, p: block(p), pre)
 
-    # slice: the reference's deform+classify parameter names are internal to
-    # the external SliceFastCUDALatticeModule; map what exists.
+    # Slice head: the external SliceFastCUDALatticeModule (public
+    # AIS-Bonn/lattice_net layout) holds two Linears --
+    #   linear_deltaW:  ( (d+1)*C + (d+1) -> d+1 ), zero-init delta to the
+    #                   barycentric weights (input = rowified simplex feats
+    #                   then the d+1 original weights, matching DeformSlice's
+    #                   concat order in blocks.py:289-293);
+    #   linear_clasify: ( C -> nr_classes )  [sic, reference typo].
+    # Map them onto DeformSlice's param names; tolerate the alternate
+    # spelling "linear_classify" and pass any unknown slice keys through
+    # (they will surface as extra leaves in the load report).
     slice_keys = [k for k in sd if k.startswith("slice_fast_cuda")]
     if slice_keys:
         sp = {}
+        renames = {
+            "linear_deltaW.weight": ("deform_kernel", True),
+            "linear_deltaW.bias": ("deform_bias", False),
+            "linear_clasify.weight": ("classify_kernel", True),
+            "linear_clasify.bias": ("classify_bias", False),
+            "linear_classify.weight": ("classify_kernel", True),
+            "linear_classify.bias": ("classify_bias", False),
+        }
         for k in slice_keys:
             consumed.add(k)
             short = k.split("slice_fast_cuda.")[1]
-            sp[short.replace(".", "_")] = np.asarray(sd[k])
+            if short in renames:
+                name, transpose = renames[short]
+                sp[name] = t(sd[k]) if transpose else np.asarray(sd[k])
+            else:
+                sp[short.replace(".", "_")] = np.asarray(sd[k])
         params["slice_fast_cuda"] = sp
 
     unconsumed = sorted(set(sd.keys()) - consumed)

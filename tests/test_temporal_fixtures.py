@@ -3,8 +3,6 @@ knobs (SURVEY.md 4: ``seq_same_cloud`` isolates hidden-state plumbing from
 motion; ``debug_loader`` colors frames for pose checks), plus a golden
 regression anchor."""
 
-import hashlib
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,16 +60,14 @@ def test_golden_regression(rng):
     arr = np.asarray(logp)[:100]
 
     assert int(aux["nr_vertices"]) == int(state.tables[0].count)
-    # coarse stats are stable across platforms at f32
-    mean, std = float(arr.mean()), float(arr.std())
-    assert -10.0 < mean < 0.0, mean
-    assert 0.0 < std < 10.0, std
-    # exact finger-print on CPU f32 (loose decimals to tolerate fused-op
-    # reassociation across jax versions)
-    rounded = np.round(arr, 3)
-    digest = hashlib.sha1(rounded.tobytes()).hexdigest()
-    # record the current value; compare mean/std tightly instead of digest
-    # to avoid platform-specific flakiness, but keep the digest printed for
-    # forensic diffs
-    print("golden digest:", digest, "mean:", mean, "std:", std)
-    np.testing.assert_allclose(arr.sum(), arr.sum(), rtol=0)  # smoke
+
+    # Pinned on the CPU backend (tests/conftest.py forces it).  Tolerances
+    # allow fused-op reassociation across jax versions but fail on any
+    # model-level perturbation (e.g. a fusion constant changing).
+    np.testing.assert_allclose(float(arr.mean()), -1.6380532, atol=1e-4)
+    np.testing.assert_allclose(float(arr.std()), 0.2601782, atol=1e-4)
+    golden_head = np.array(
+        [-1.4827988, -1.5886852, -1.6179386, -1.9130685, -1.501163,
+         -1.2632387, -1.4868305, -1.6143117, -2.2311301, -1.6888039,
+         -1.1148212, -1.6098788], dtype=np.float32)
+    np.testing.assert_allclose(arr.reshape(-1)[:12], golden_head, atol=2e-4)
