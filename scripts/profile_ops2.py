@@ -102,9 +102,9 @@ def main():
     pr = jnp.asarray(rng.standard_normal((T, R, 3)).astype(np.float32))
     def relmean(pr_, rv_, w_):
         def one(pp, rr, ww):
-            sums = jax.ops.segment_sum(pp * ww[:, None], rr, num_segments=C0)
-            cnts = jax.ops.segment_sum(ww, rr, num_segments=C0)
-            return pp - (sums / jnp.maximum(cnts, 1.0)[:, None])[rr]
+            data = jnp.concatenate([pp * ww[:, None], ww[:, None]], axis=1)
+            s = jax.ops.segment_sum(data, rr, num_segments=C0)
+            return pp - (s[:, :3] / jnp.maximum(s[:, 3:], 1.0))[rr]
         return jax.vmap(one)(pr_, rv_, w_)
     cases["relmean_4f"] = (rep(relmean), (pr, rv, w))
 

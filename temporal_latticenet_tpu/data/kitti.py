@@ -82,9 +82,18 @@ class FrameBatch:
     mask: np.ndarray        # (P,) bool
     n_points: int
     path: str
+    last_n: int = -1        # points of the LAST scan (== n_points unless
+                            # accumulate_clouds concatenated several scans);
+                            # submission writing trims to the final last_n
+                            # rows (test_ln.py:221's l_pred[-len_seq[-1]:])
+
+    def __post_init__(self):
+        if self.last_n < 0:
+            object.__setattr__(self, "last_n", self.n_points)
 
 
-def pad_frame(positions, values, labels, max_points, path="") -> FrameBatch:
+def pad_frame(positions, values, labels, max_points, path="",
+              last_n: int = -1) -> FrameBatch:
     n = positions.shape[0]
     if n > max_points:
         # static capacity exceeded: keep the first max_points (points are
@@ -99,7 +108,8 @@ def pad_frame(positions, values, labels, max_points, path="") -> FrameBatch:
     v[:n] = values
     l[:n] = labels
     mask = np.arange(max_points) < n
-    return FrameBatch(p, v, l, mask, n, path)
+    return FrameBatch(p, v, l, mask, n, path,
+                      min(last_n, n) if last_n >= 0 else n)
 
 
 class SemanticKittiDataset:
@@ -303,7 +313,19 @@ class SemanticKittiDataset:
             xyz = np.concatenate([f[0] for f in frames])
             vals = np.concatenate([f[1] for f in frames])
             lab = np.concatenate([f[2] for f in frames])
-            return [pad_frame(xyz, vals, lab, self.max_points, frames[-1][3])]
+            last_n = frames[-1][0].shape[0]
+            if xyz.shape[0] > self.max_points:
+                # Drop the OLDEST points: the last scan is what gets scored
+                # and written (test_ln.py:221), so it must survive intact.
+                if not getattr(self, "_warned_accum_overflow", False):
+                    print(f"[kitti] accumulate: {xyz.shape[0]} points exceed "
+                          f"max_points={self.max_points}; dropping oldest -- "
+                          f"raise runtime.max_points for accumulate configs")
+                    self._warned_accum_overflow = True
+                xyz, vals, lab = (xyz[-self.max_points:], vals[-self.max_points:],
+                                  lab[-self.max_points:])
+            return [pad_frame(xyz, vals, lab, self.max_points, frames[-1][3],
+                              last_n=last_n)]
 
         return [pad_frame(x, v, l, self.max_points, p)
                 for (x, v, l, p) in frames]

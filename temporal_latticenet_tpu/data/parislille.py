@@ -182,7 +182,13 @@ class ParisLille3DDataset:
             xyz = np.concatenate([f[0] for f in frames])
             vals = np.concatenate([f[1] for f in frames])
             lab = np.concatenate([f[2] for f in frames])
-            return [pad_frame(xyz, vals, lab, self.max_points, frames[-1][3])]
+            last_n = frames[-1][0].shape[0]
+            if xyz.shape[0] > self.max_points:
+                # keep the newest points; the last scan is scored/written
+                xyz, vals, lab = (xyz[-self.max_points:], vals[-self.max_points:],
+                                  lab[-self.max_points:])
+            return [pad_frame(xyz, vals, lab, self.max_points, frames[-1][3],
+                              last_n=last_n)]
         return [pad_frame(x, v, l, self.max_points, p)
                 for (x, v, l, p) in frames]
 

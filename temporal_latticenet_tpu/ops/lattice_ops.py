@@ -80,9 +80,10 @@ def distribute(table: VertexTable, positions: jax.Array, point_mask: jax.Array,
     pos_rows = jnp.repeat(positions, dp1, axis=0)        # (P*(d+1), d)
     w = row_valid.astype(jnp.float32)
     if subtract_local_mean:
-        sums = jax.ops.segment_sum(pos_rows * w[:, None], row_vertex, num_segments=cap)
-        cnts = jax.ops.segment_sum(w, row_vertex, num_segments=cap)
-        mean = sums / jnp.maximum(cnts, 1.0)[:, None]
+        # one fused 4-channel scatter (sums + counts); see seq_lattice.py
+        data = jnp.concatenate([pos_rows * w[:, None], w[:, None]], axis=1)
+        s = jax.ops.segment_sum(data, row_vertex, num_segments=cap)
+        mean = s[:, :3] / jnp.maximum(s[:, 3:], 1.0)
         rel = pos_rows - mean[row_vertex]
     else:
         rel = pos_rows

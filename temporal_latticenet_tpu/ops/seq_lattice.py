@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from . import permutohedral as pm
 from .vertex_table import (PACKED_SENTINEL, SENTINEL, pack_keys, unpack_keys)
-from .mxu_lookup import mxu_lookup_positions
+from .mxu_lookup import mxu_lookup_select
 from .lattice_ops import LevelLink, NeighborTable
 
 
@@ -66,60 +66,82 @@ class SeqLattice:
         return NeighborTable(idx=lv.nbr_idx, found=found)
 
 
+def _seg_copy_head(head: jax.Array, val: jax.Array) -> jax.Array:
+    """Propagate each run head's value across its (contiguous) run.
+
+    Standard segmented scan: result[i] = val at the last head position <= i.
+    """
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+    _, out = jax.lax.associative_scan(comb, (head, val))
+    return out
+
+
 def _union_with_birth(cand_packed: jax.Array, cand_order: jax.Array,
                       capacity: int, n_frames: int):
     """Assign birth-ordered stable indices to unique candidate keys.
 
     Args:
       cand_packed: (Q,) uint32 (PACKED_SENTINEL for invalid rows).
-      cand_order:  (Q,) int32 monotone-in-frame priority (row order within a
-        key run determines which frame counts as its birth: the minimum
-        ``cand_order // per_frame`` of the run head).
+      cand_order:  (Q,) int32 monotone-in-frame priority (the stable key-sort
+        keeps rows of a key run in original order, so the run head -- the
+        earliest row -- determines the birth: ``cand_order // per_frame``).
       capacity: target table size (slot 0 reserved).
 
     Returns (packed_final (C,), birth (C,), row_idx (Q,), counts (T,)).
+
+    Design (v2, profile-driven): the TPU cost here is not the sorts
+    (~2.6 ms per 2M-row stable sort) but per-row random access -- the v1
+    implementation paid a 2M element-gather (~15 ms) plus an
+    inverse-permutation scatter (~10 ms) to remap rows through a compacted
+    unique buffer.  v2 instead (a) propagates birth along sorted runs with a
+    segmented scan, (b) re-sorts rows by (birth, key) so the final index IS
+    the unique-run rank (no remap), and (c) returns to original row order by
+    sorting on the carried row id -- sorts replace every random-access pass.
     """
     q = cand_packed.shape[0]
     per_frame = q // n_frames
+    sp, so = jax.lax.sort((cand_packed, cand_order), dimension=0, num_keys=1)
+    birth_rows = (so // per_frame).astype(jnp.int32)
+    return _finish_union(sp, so, birth_rows, capacity, n_frames)
 
-    sp, so = jax.lax.sort((cand_packed, cand_order), dimension=0, num_keys=2)
+
+def _finish_union(sp, so, birth_rows, capacity: int, n_frames: int):
+    """Shared tail of both union variants; ``sp``/``so``/``birth_rows`` are
+    the stable key-sorted candidates (birth monotone within runs, so the run
+    head carries the minimum)."""
+    q = sp.shape[0]
     valid = sp != PACKED_SENTINEL
     head = valid & jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
-    birth_row = (so // per_frame).astype(jnp.int32)
+    birth = _seg_copy_head(head, jnp.where(valid, birth_rows, n_frames))
+    birth = jnp.where(valid, birth, n_frames).astype(jnp.int32)
 
-    # Compact unique keys (in packed order) into a 2x-capacity buffer so the
-    # subsequent birth-sort decides overflow drops by AGE (youngest first,
-    # matching the streaming path's behaviour when the table fills).
-    urank = jnp.cumsum(head.astype(jnp.int32)) - 1          # unique id per run
-    buf = min(2 * capacity, q)
-    dst = jnp.where(head & (urank < buf - 1), urank, buf)
-    keys_u = jnp.full((buf,), PACKED_SENTINEL, jnp.uint32).at[
-        dst].set(sp, mode="drop")
-    birth_u = jnp.full((buf,), n_frames, jnp.int32).at[
-        dst].set(birth_row, mode="drop")
+    # Final order: (birth, key); key runs stay contiguous because a key has
+    # exactly one birth.  Sentinels (birth=T, key=max) sort last.  Overflow
+    # (unique rank >= capacity-1) drops youngest-then-largest -- identical to
+    # the streaming table's append-order drops.
+    b2, k2, so2 = jax.lax.sort((birth.astype(jnp.uint32), sp, so),
+                               dimension=0, num_keys=2)
+    valid2 = k2 != PACKED_SENTINEL
+    head2 = valid2 & jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
+    urank2 = jnp.cumsum(head2.astype(jnp.int32)) - 1
+    fits = valid2 & (urank2 < capacity - 1)
+    fin = jnp.where(fits, urank2 + 1, 0)
 
-    # Final order: (birth, packed); sentinels (birth=T, packed=max) sort last.
-    uid = jnp.arange(buf, dtype=jnp.int32)
-    b_s, p_s, u_s = jax.lax.sort((birth_u, keys_u, uid), dimension=0,
-                                 num_keys=2)
-    # final index of unique id u (slot 0 reserved => +1); beyond capacity -> 0
-    final_of_uid = jnp.zeros((buf,), jnp.int32).at[u_s].set(
-        jnp.arange(buf, dtype=jnp.int32) + 1)
-    final_of_uid = jnp.where(final_of_uid < capacity, final_of_uid, 0)
+    # Back to original row order: one more sort instead of an
+    # inverse-permutation scatter (2.6 ms vs ~10 ms at 2M rows).
+    _, row_idx = jax.lax.sort((so2, fin), dimension=0, num_keys=1)
 
-    # Per-row resolution: propagate the run's unique id, then map to final.
-    row_uid = jnp.where(valid, jnp.minimum(urank, buf - 1), 0)
-    row_final = jnp.where(valid, final_of_uid[row_uid], 0)
-    # rows whose unique key was dropped by compaction overflow go to 0
-    row_final = jnp.where(valid & (urank < buf - 1), row_final, 0)
-    row_idx = jnp.zeros((q,), jnp.int32).at[so].set(row_final)
-
-    packed_final = jnp.full((capacity,), PACKED_SENTINEL, jnp.uint32)
-    birth_final = jnp.full((capacity,), n_frames, jnp.int32)
-    keep = p_s != PACKED_SENTINEL
-    dst2 = jnp.where(keep, jnp.arange(buf, dtype=jnp.int32) + 1, capacity)
-    packed_final = packed_final.at[dst2].set(p_s, mode="drop")
-    birth_final = birth_final.at[dst2].set(b_s, mode="drop")
+    # Capacity-sized tables: one fused 2-channel scatter of the run heads.
+    dst = jnp.where(head2 & fits, urank2 + 1, capacity)
+    kb = jnp.stack([k2, b2.astype(jnp.uint32)], axis=1)
+    table = jnp.full((capacity, 2), 0, jnp.uint32).at[:, 0].set(
+        PACKED_SENTINEL).at[:, 1].set(jnp.uint32(n_frames))
+    table = table.at[dst].set(kb, mode="drop")
+    packed_final = table[:, 0]
+    birth_final = table[:, 1].astype(jnp.int32)
 
     counts = 1 + jnp.sum(
         (birth_final[None, :] <= jnp.arange(n_frames)[:, None])
@@ -160,19 +182,26 @@ def _build_level(packed_final, birth_final, counts, n_frames):
     n_off = offs.shape[0]
     queries = (keys[:, None, :] + offs[None, :, :]).reshape(cap * n_off, 3)
     qpacked = pack_keys(queries)
-    # sort the table once, then batched MXU lookups (no random gathers)
+    # Sort the table once, then batched MXU lookups (no random gathers).
+    # Stable index and birth ride the SAME one-hot contraction as payload
+    # byte-planes, killing the two follow-up (C*9)-element random gathers.
     stable = jnp.arange(cap, dtype=jnp.int32)
-    s_packed, s_stable = jax.lax.sort((packed_final, stable), dimension=0,
-                                      num_keys=1)
-    pos = mxu_lookup_positions(s_packed, qpacked).reshape(cap, n_off)
-    nbr = jnp.where(pos >= 0, s_stable[jnp.maximum(pos, 0)], -1)
+    s_packed, s_stable, s_birth = jax.lax.sort(
+        (packed_final, stable, birth_final), dimension=0, num_keys=1)
+    pos, (st, bi) = mxu_lookup_select(
+        s_packed, qpacked, payloads=(s_stable, s_birth),
+        payload_bits=(max(int(cap - 1).bit_length(), 1), 8))
+    pos = pos.reshape(cap, n_off)
+    nbr = jnp.where(pos >= 0, st.reshape(cap, n_off), -1)
+    nbr_bi = bi.reshape(cap, n_off)
 
     valid_self = packed_final != PACKED_SENTINEL
     self_idx = jnp.arange(cap, dtype=jnp.int32)
     idx = jnp.concatenate([jnp.maximum(nbr, 0), self_idx[:, None]], axis=1)
     found = jnp.concatenate([nbr >= 0, valid_self[:, None]], axis=1)
     found &= valid_self[:, None]
-    nbr_birth = jnp.where(found, birth_final[idx], n_frames)
+    all_birth = jnp.concatenate([nbr_bi, birth_final[:, None]], axis=1)
+    nbr_birth = jnp.where(found, all_birth, n_frames)
 
     return SeqLevel(keys=keys, birth=birth_final, counts=counts,
                     nbr_idx=idx, nbr_found=found, nbr_birth=nbr_birth), \
@@ -215,10 +244,14 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
     pos_rows = jnp.repeat(positions, dp1, axis=1)          # (T, P*4, 3)
     w = row_valid.astype(jnp.float32)
     if subtract_local_mean:
+        # scatter cost on TPU is index-bound, not byte-bound: fuse the sums
+        # and counts into ONE 4-channel segment_sum per frame (halves the
+        # scatter passes; measured 114 -> ~60 ms at bench scale)
         def mean_one(pr, rv, wi):
-            sums = jax.ops.segment_sum(pr * wi[:, None], rv, num_segments=cap0)
-            cnts = jax.ops.segment_sum(wi, rv, num_segments=cap0)
-            return pr - (sums / jnp.maximum(cnts, 1.0)[:, None])[rv]
+            data = jnp.concatenate([pr * wi[:, None], wi[:, None]], axis=1)
+            s = jax.ops.segment_sum(data, rv, num_segments=cap0)
+            mean = s[:, :3] / jnp.maximum(s[:, 3:], 1.0)
+            return pr - mean[rv]
         rel = jax.vmap(mean_one)(pos_rows, row_vertex, w)
     else:
         rel = pos_rows
@@ -269,43 +302,12 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
 
 def _union_with_birth_explicit(cand_packed, cand_birth, capacity, n_frames):
     """Like _union_with_birth but with an explicit per-candidate birth frame
-    (used for coarse levels, where birth is inherited from fine vertices)."""
+    (used for coarse levels, where birth is inherited from fine vertices;
+    ``cand_birth`` is monotone in row order because fine stable indices are
+    already birth-sorted, so the stable key-sort's run head carries the
+    run-minimum birth)."""
     q = cand_packed.shape[0]
     rows = jnp.arange(q, dtype=jnp.int32)
-    # sort by (key, birth) so the run head carries the MIN birth
     sp, sb, so = jax.lax.sort((cand_packed, cand_birth, rows), dimension=0,
-                              num_keys=2)
-    valid = sp != PACKED_SENTINEL
-    head = valid & jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
-
-    urank = jnp.cumsum(head.astype(jnp.int32)) - 1
-    buf = min(2 * capacity, q)
-    dst = jnp.where(head & (urank < buf - 1), urank, buf)
-    keys_u = jnp.full((buf,), PACKED_SENTINEL, jnp.uint32).at[dst].set(
-        sp, mode="drop")
-    birth_u = jnp.full((buf,), n_frames, jnp.int32).at[dst].set(
-        sb, mode="drop")
-
-    uid = jnp.arange(buf, dtype=jnp.int32)
-    b_s, p_s, u_s = jax.lax.sort((birth_u, keys_u, uid), dimension=0,
-                                 num_keys=2)
-    final_of_uid = jnp.zeros((buf,), jnp.int32).at[u_s].set(
-        jnp.arange(buf, dtype=jnp.int32) + 1)
-    final_of_uid = jnp.where(final_of_uid < capacity, final_of_uid, 0)
-
-    row_uid = jnp.where(valid, jnp.minimum(urank, buf - 1), 0)
-    row_final = jnp.where(valid & (urank < buf - 1),
-                          final_of_uid[row_uid], 0)
-    row_idx = jnp.zeros((q,), jnp.int32).at[so].set(row_final)
-
-    packed_final = jnp.full((capacity,), PACKED_SENTINEL, jnp.uint32)
-    birth_final = jnp.full((capacity,), n_frames, jnp.int32)
-    keep = p_s != PACKED_SENTINEL
-    dst2 = jnp.where(keep, jnp.arange(buf, dtype=jnp.int32) + 1, capacity)
-    packed_final = packed_final.at[dst2].set(p_s, mode="drop")
-    birth_final = birth_final.at[dst2].set(b_s, mode="drop")
-
-    counts = 1 + jnp.sum(
-        (birth_final[None, :] <= jnp.arange(n_frames)[:, None])
-        & (packed_final != PACKED_SENTINEL)[None, :], axis=1).astype(jnp.int32)
-    return packed_final, birth_final, row_idx, counts
+                              num_keys=1)
+    return _finish_union(sp, so, sb, capacity, n_frames)

@@ -249,12 +249,19 @@ def run_eval(config_file: str, split: str = "test", max_seqs: int | None = None,
         if write_preds:
             # semantic-kitti-api layout:
             # predictions/sequences/<seq>/predictions/<scan>.label
+            # In ACCUM mode only the LAST scan's points are written
+            # (test_ln.py:221: l_pred[-len_seq[-1]:]); scoring above keeps
+            # every accumulated point, also like the reference.  We write
+            # the binary devkit format, not the text file the reference
+            # overwrites it with (PARITY.md).
             base = os.path.splitext(os.path.basename(last.path))[0]
             seq_dir = os.path.basename(
                 os.path.dirname(os.path.dirname(last.path)))
             out_dir = os.path.join(out_root, "sequences", seq_dir, "predictions")
             os.makedirs(out_dir, exist_ok=True)
-            pred.astype(np.uint32).tofile(os.path.join(out_dir, base + ".label"))
+            pred_last = pred[-last.last_n:] if last.last_n else pred
+            pred_last.astype(np.uint32).tofile(
+                os.path.join(out_dir, base + ".label"))
 
         if max_seqs is not None and seq_i + 1 >= max_seqs:
             break

@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,3 +48,27 @@ def test_mxu_lookup_large_random(rng):
     want_pos = np.minimum(np.searchsorted(table, q), cap - 1)
     want = np.where(table[want_pos] == q, want_pos, -1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_mxu_lookup_select_payloads(rng):
+    """Payload byte-planes selected through the one-hot contraction must
+    equal a plain gather at the hit position (and 0 at misses)."""
+    from temporal_latticenet_tpu.ops.mxu_lookup import mxu_lookup_select
+
+    c, qn = 1024, 3000
+    table = np.sort(rng.choice(2**31, c, replace=False).astype(np.uint32))
+    stable = rng.integers(0, 2**17, c).astype(np.int32)
+    birth = rng.integers(0, 8, c).astype(np.int32)
+    q = np.concatenate([rng.choice(table, qn // 2),
+                        rng.integers(0, 2**31, qn - qn // 2).astype(np.uint32)])
+    pos, (st, bi) = jax.jit(lambda t, qq, s, b: mxu_lookup_select(
+        t, qq, payloads=(s, b), payload_bits=(17, 3), chunk=512))(
+            jnp.asarray(table), jnp.asarray(q), jnp.asarray(stable),
+            jnp.asarray(birth))
+    pos, st, bi = map(np.asarray, (pos, st, bi))
+
+    idx = np.searchsorted(table, q)
+    hit = (idx < c) & (table[np.minimum(idx, c - 1)] == q)
+    np.testing.assert_array_equal(pos, np.where(hit, idx, -1))
+    np.testing.assert_array_equal(st, np.where(hit, stable[np.minimum(idx, c - 1)], 0))
+    np.testing.assert_array_equal(bi, np.where(hit, birth[np.minimum(idx, c - 1)], 0))
