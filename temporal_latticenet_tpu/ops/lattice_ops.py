@@ -258,3 +258,37 @@ def slice_gather(values: jax.Array, point_vertex: jax.Array,
     """
     g = values[point_vertex]                             # (P, d+1, C)
     return jnp.einsum("pvc,pv->pc", g, point_bary)
+
+
+def slice_classic(values: jax.Array, point_vertex: jax.Array,
+                  point_bary: jax.Array) -> jax.Array:
+    """Classic (non-deform, non-classifying) slice: the TPU equivalent of the
+    reference's ``SliceLatticeModule`` alternate (constructed at
+    /root/reference/seq_lattice/models.py:233, called only in commented-out
+    code at models.py:466-467).  Plain barycentric interpolation of vertex
+    features at the points; pair with a ``Conv1x1`` head to reproduce the
+    commented ``self.classify`` path."""
+    return slice_gather(values, point_vertex, point_bary)
+
+
+def splat_classic(point_values: jax.Array, point_vertex: jax.Array,
+                  point_bary: jax.Array, capacity: int) -> jax.Array:
+    """Classic splat: barycentric-weighted scatter of per-point features onto
+    the simplex vertices -- the ``SplatLatticeModule`` alternate
+    (/root/reference/seq_lattice/models.py:234; never called in the
+    reference forward).  The adjoint of :func:`slice_classic`.
+
+    Args:
+      point_values: (P, C) per-point features.
+      point_vertex: (P, d+1) int32 simplex vertex indices (0 = invalid).
+      point_bary:   (P, d+1) f32 weights (0 for invalid corners).
+
+    Returns (capacity, C) vertex features; row 0 collects invalid mass and is
+    zeroed per the mask_rows invariant.
+    """
+    p, dp1 = point_vertex.shape
+    contrib = point_values[:, None, :] * point_bary[..., None]  # (P, d+1, C)
+    flat = contrib.reshape(p * dp1, -1)
+    out = jax.ops.segment_sum(flat, point_vertex.reshape(-1),
+                              num_segments=capacity)
+    return out.at[0].set(0.0)

@@ -201,3 +201,38 @@ def test_native_loader_matches_numpy_path(mini_kitti):
         np.testing.assert_allclose(fa.positions, fb.positions, atol=1e-5)
         np.testing.assert_array_equal(fa.labels, fb.labels)
         np.testing.assert_allclose(fa.values, fb.values, atol=1e-6)
+
+
+def test_lidar_like_sequence_realism():
+    """The ray-cast simulator produces the scan statistics the bench relies
+    on: ring structure (many distinct ground ranges), range-dependent
+    density, pose drift between frames, and labels tied to geometry."""
+    from temporal_latticenet_tpu.data.lidar_like import (
+        lidar_sequence, CLASS_GROUND, SENSOR_HEIGHT)
+
+    rng = np.random.default_rng(3)
+    p, v, l, m = lidar_sequence(rng, frames=3, max_points=8192,
+                                n_beams=16, n_az=512)
+    assert p.shape == (3, 8192, 3) and m.dtype == bool
+    n_valid = m.sum(axis=1)
+    assert (n_valid > 2000).all()          # most rays return
+    assert (n_valid < 8192).all()          # but sky/out-of-range rays drop
+
+    # ground points lie near z = -SENSOR_HEIGHT and dominate close range
+    f0 = p[0][m[0]]
+    lbl0 = l[0][m[0]]
+    ground = lbl0 == CLASS_GROUND
+    assert ground.mean() > 0.3
+    assert np.abs(f0[ground][:, 2] + SENSOR_HEIGHT).mean() < 0.1
+
+    # ring structure: ground ranges concentrate on per-beam rings
+    rad = np.linalg.norm(f0[ground][:, :2], axis=1)
+    hist, _ = np.histogram(rad, bins=200, range=(0, 80))
+    assert (hist > 0).sum() < 120          # gaps between rings exist
+
+    # density falls with range
+    assert (rad < 20).sum() > (rad > 40).sum()
+
+    # pose drift: frame centroids advance along +x
+    cx = [p[t][m[t]][:, 0].mean() for t in range(3)]
+    assert cx[2] > cx[1] > cx[0]

@@ -207,3 +207,63 @@ def test_mask_rows():
     x = jnp.ones((8, 2))
     got = np.asarray(lo.mask_rows(x, jnp.int32(5)))
     assert (got[0] == 0).all() and (got[5:] == 0).all() and (got[1:5] == 1).all()
+
+
+def test_splat_classic_matches_oracle(rng):
+    """splat_classic: barycentric-weighted scatter equals a numpy loop."""
+    pos = _cloud(rng, 96)
+    t = vt.make_table(2048, 3)
+    t, out = lo.distribute(t, pos, jnp.ones(96, bool), SIGMA)
+
+    vals = jnp.asarray(rng.normal(size=(96, 5)).astype(np.float32))
+    got = np.asarray(lo.splat_classic(vals, out.point_vertex, out.point_bary,
+                                      2048))
+
+    want = np.zeros((2048, 5), np.float32)
+    pv = np.asarray(out.point_vertex)
+    pb = np.asarray(out.point_bary)
+    v = np.asarray(vals)
+    for p in range(96):
+        for k in range(4):
+            want[pv[p, k]] += pb[p, k] * v[p]
+    want[0] = 0.0
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_slice_classic_is_plain_barycentric(rng):
+    """slice_classic == the undeformed slice path (models.py:466 commented
+    alternate): exactly slice_gather, and a constant field round-trips."""
+    pos = _cloud(rng, 64)
+    t = vt.make_table(2048, 3)
+    t, out = lo.distribute(t, pos, jnp.ones(64, bool), SIGMA)
+
+    values = jnp.zeros((2048, 3)).at[:, 1].set(4.25)
+    values = lo.mask_rows(values, t.count)
+    got = lo.slice_classic(values, out.point_vertex, out.point_bary)
+    np.testing.assert_allclose(np.asarray(got)[:, 1], 4.25, atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(got),
+        np.asarray(lo.slice_gather(values, out.point_vertex, out.point_bary)))
+
+
+def test_segment_max_with_bary_packed_matches_argmax_path(rng):
+    """The one-pass packed max must agree with the argmax-recovery chain:
+    identical bf16 max values, and the winner's bary up to the 1/65535
+    quantisation (ties in bf16 values may legitimately pick a different
+    winner -- avoided here by construction)."""
+    R, S, C = 400, 64, 8
+    ids = jnp.asarray(rng.integers(0, S, R).astype(np.int32))
+    # distinct values per row so bf16 ties can't occur within a segment
+    base = np.linspace(-3, 3, R)[:, None] + rng.normal(size=(1, C)) * 0.01
+    x = jnp.asarray(base.astype(np.float32)).astype(jnp.bfloat16)
+    bary = jnp.asarray(rng.random(R).astype(np.float32))
+    valid = jnp.asarray(rng.random(R) > 0.15)
+
+    mx_p, bary_p = seg.segment_max_with_bary_packed(x, bary, ids, S, valid)
+    mx_a, arg = seg.segment_max_with_argmax(x, ids, S, valid)
+    bary_a = jnp.where(arg >= 0, bary[jnp.maximum(arg, 0)], 0.0)
+
+    np.testing.assert_array_equal(np.asarray(mx_p),
+                                  np.asarray(mx_a, np.float32))
+    np.testing.assert_allclose(np.asarray(bary_p), np.asarray(bary_a),
+                               atol=1.0 / 65535 + 1e-7)
