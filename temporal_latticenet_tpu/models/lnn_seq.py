@@ -135,6 +135,8 @@ class LNNSeq(nn.Module):
                 nbrs = [seqlat.frame_nbr(l, t) for l in range(L + 1)]
                 links = list(seqlat.links)
                 counts = [seqlat.levels[l].counts[t] for l in range(L + 1)]
+                nr_points = (None if seqlat.nr_points is None
+                             else seqlat.nr_points[t])
             else:
                 subtract_mean = cfg.experiment not in (
                     "pointnet_no_local_mean",
@@ -142,6 +144,7 @@ class LNNSeq(nn.Module):
                 tables[0], dist = lo.distribute(
                     tables[0], positions, mask, rt.sigma,
                     subtract_local_mean=subtract_mean)
+                nr_points = None
                 nbrs = [lo.build_neighbor_table(tables[0])]
                 links = []
                 counts = [tables[0].count]
@@ -156,7 +159,7 @@ class LNNSeq(nn.Module):
         with jax.named_scope("pointnet"):
             lv, h[0] = PointNetSeq(cfg, name="point_net_seq")(
                 dist, values_rows, nbrs[0], counts[0], h[0], pc[0],
-                is_first, deterministic)
+                is_first, deterministic, nr_points=nr_points)
         pc[0] = counts[0]
 
         if (not final) and seq and cut <= 0:

@@ -47,13 +47,17 @@ class PointNetSeq(nn.Module):
     @nn.compact
     def __call__(self, dist: DistributeOut, values_rows: jax.Array,
                  nbr: NeighborTable, count, h_early, prev_count, is_first,
-                 deterministic=True):
+                 deterministic=True, nr_points=None):
         """Args:
           dist: DistributeOut of the current frame (level 0).
           values_rows: (R, V) per-row point feature values (reflectance etc.).
           nbr: level-0 neighbor table.
           count: level-0 vertex count.
           h_early / prev_count / is_first: early-fusion state.
+          nr_points: optional (cap,) precomputed valid-row count per vertex
+            for this frame (the whole-sequence lattice build emits it for
+            free inside its union scans); when absent it is recomputed with
+            a segment_sum like the reference's scatter (models.py:452-454).
 
         Returns (lv (cap, start_nr_channels), new_h_early).
         """
@@ -88,8 +92,11 @@ class PointNetSeq(nn.Module):
             # reductions stay in compute_dtype too (the scatter is the
             # expensive part); results return to f32 below
 
-        counts = jax.ops.segment_sum(rvalid.astype(jnp.float32), rid,
-                                     num_segments=cap)
+        if nr_points is None:
+            counts = jax.ops.segment_sum(rvalid.astype(jnp.float32), rid,
+                                         num_segments=cap)
+        else:
+            counts = nr_points
 
         if experiment == "splat":
             reduced = seg.segment_mean(x, rid, cap, rvalid)
@@ -116,9 +123,16 @@ class PointNetSeq(nn.Module):
             reduced = jax.ops.segment_sum(x * sc, rid, num_segments=cap)
             reduced = jnp.where((counts >= 4)[:, None], reduced, 0.0)
         else:
-            mx, arg = seg.segment_max_with_argmax(x, rid, cap, rvalid)
-            mx = mx.astype(jnp.float32)
-            bary_sel = jnp.where(arg >= 0, dist.row_bary[jnp.maximum(arg, 0)], 0.0)
+            if x.dtype == jnp.bfloat16:
+                # one-pass packed max: value bits + winning bary ride the
+                # same uint32 scatter (see segment_max_with_bary_packed)
+                mx, bary_sel = seg.segment_max_with_bary_packed(
+                    x, dist.row_bary, rid, cap, rvalid)
+            else:
+                mx, arg = seg.segment_max_with_argmax(x, rid, cap, rvalid)
+                mx = mx.astype(jnp.float32)
+                bary_sel = jnp.where(arg >= 0,
+                                     dist.row_bary[jnp.maximum(arg, 0)], 0.0)
             reduced = jnp.concatenate([mx, bary_sel], axis=-1)
             is_early_maxpool = (cfg.sequence_learning
                                 and cfg.rnn_modules[0] == "maxpool")

@@ -26,6 +26,56 @@ def segment_mean(data, segment_ids, num_segments, valid=None):
     return sums / jnp.maximum(cnts, 1.0)[:, None]
 
 
+def segment_max_with_bary_packed(data, bary, segment_ids, num_segments,
+                                 valid=None):
+    """Per-segment, per-channel max of bf16 ``data`` plus the barycentric
+    weight of the winning row -- in ONE scatter pass.
+
+    The reference couples ``scatter_max`` with an argmax-indexed gather of
+    the barycentric column (lattice_modules.py:512-525); on TPU that chain
+    costs three extra index-bound passes over (R, C) / (S, C) arrays
+    (gather max back to rows, scatter row-ids, gather bary by argmax --
+    profiled in scripts/profile_r2.py).  Packing the value's bf16 bits
+    (monotone-mapped) into the high 16 bits of a uint32 and the quantised
+    bary into the low 16 lets a single ``segment_max`` carry both.
+
+    Semantics vs the reference: value max is exact in bf16 (the compute
+    dtype of this path); ties in the value pick the larger bary instead of
+    torch_scatter's row order (immaterial downstream, cf. segment.py
+    argmax note); bary is quantised to 1/65535 (documented in PARITY.md).
+    Empty segments yield (0, 0) like torch_scatter's zero-filled output.
+
+    Args:
+      data: (R, C) rows, cast to bf16.
+      bary: (R,) f32 in [0, 1].
+      valid: optional (R,) bool; invalid rows never win.
+
+    Returns: (maxval (S, C) f32, bary_sel (S, C) f32).
+    """
+    bits = jax.lax.bitcast_convert_type(
+        data.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    # monotone map: order of mapped uint16s == numeric order of the floats
+    mono = jnp.where(bits >= 0x8000, bits ^ jnp.uint32(0xFFFF),
+                     bits | jnp.uint32(0x8000))
+    b16 = (jnp.clip(bary, 0.0, 1.0) * 65535.0 + 0.5).astype(jnp.uint32)
+    packed = (mono << 16) | b16[:, None]
+    if valid is not None:
+        packed = jnp.where(valid[:, None], packed, 0)
+    best = jax.ops.segment_max(packed, segment_ids,
+                               num_segments=num_segments)
+    # 0 is unreachable for a real row (mono 0 would be the bf16 bit pattern
+    # 0xFFFF = -nan), so 0 == empty segment (u32 max identity).
+    has = best != 0
+    mono_out = best >> 16
+    bits_out = jnp.where(mono_out >= 0x8000, mono_out ^ jnp.uint32(0x8000),
+                         mono_out ^ jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    mx = jax.lax.bitcast_convert_type(bits_out, jnp.bfloat16).astype(jnp.float32)
+    mx = jnp.where(has, mx, 0.0)
+    bary_sel = jnp.where(has, (best & 0xFFFF).astype(jnp.float32) / 65535.0,
+                         0.0)
+    return mx, bary_sel
+
+
 def segment_max_with_argmax(data, segment_ids, num_segments, valid=None):
     """Per-segment, per-channel max and the winning row index.
 

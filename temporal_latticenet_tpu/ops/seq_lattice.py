@@ -58,6 +58,7 @@ class SeqLattice:
     row_rel_pos: jax.Array            # (T, P*4, 3) f32
     point_vertex: jax.Array           # (T, P, 4) int32
     point_bary: jax.Array             # (T, P, 4) f32
+    nr_points: jax.Array | None = None  # (T, C0) f32 valid rows per vertex
 
     def frame_nbr(self, level: int, t) -> NeighborTable:
         """Neighbor table as visible at frame t (unborn neighbors absent)."""
@@ -77,6 +78,26 @@ def _seg_copy_head(head: jax.Array, val: jax.Array) -> jax.Array:
         return fa | fb, jnp.where(fb, vb, va)
     _, out = jax.lax.associative_scan(comb, (head, val))
     return out
+
+
+def _seg_sum_rows(head: jax.Array, val: jax.Array) -> jax.Array:
+    """Segmented inclusive row sum: resets where ``head``.  val (Q, K)."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb[..., None], vb, va + vb)
+    _, out = jax.lax.associative_scan(comb, (head, val))
+    return out
+
+
+def _seg_copy_tail_rows(tail: jax.Array, val: jax.Array) -> jax.Array:
+    """Propagate each run TAIL's value backward across its run.  val (Q, K)."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb[..., None], vb, va)
+    _, out = jax.lax.associative_scan(comb, (tail[::-1], val[::-1]))
+    return out[::-1]
 
 
 def _union_with_birth(cand_packed: jax.Array, cand_order: jax.Array,
@@ -106,6 +127,94 @@ def _union_with_birth(cand_packed: jax.Array, cand_order: jax.Array,
     sp, so = jax.lax.sort((cand_packed, cand_order), dimension=0, num_keys=1)
     birth_rows = (so // per_frame).astype(jnp.int32)
     return _finish_union(sp, so, birth_rows, capacity, n_frames)
+
+
+def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
+                               capacity: int, n_frames: int):
+    """Level-0 union that also computes each row's position relative to its
+    per-(vertex, frame) mean INSIDE the union's own sorted order.
+
+    The reference's distribute subtracts the per-vertex mean of the current
+    frame's contributing points (scatter_mean over indices, cf.
+    /root/reference/seq_lattice/models.py:452-454).  Doing this with
+    per-frame segment_sum + gather costs ~103 ms at bench scale (profiled,
+    scripts/profile_r2.py) because scatters/gathers are index-bound on TPU.
+    Here positions ride the two sorts the union performs anyway; within a
+    key run rows are frame-ordered, so per-(key, frame) sub-run sums come
+    from one forward segmented scan, are broadcast back by one backward
+    scan, and the relative positions return to original row order on the
+    unsort the union also already performs.  Net extra cost: two scans and
+    three extra sort operands instead of two full scatter/gather passes.
+
+    Args:
+      cand_packed: (Q,) uint32, frame-major row order (PACKED_SENTINEL for
+        invalid rows), Q = n_frames * per_frame.
+      pos_rows: (Q, 3) f32 point position per candidate row.
+
+    Returns (packed_final (C,), birth (C,), row_idx (Q,), counts (T,),
+             rel (Q, 3) f32 original order, nr_points (T, C) f32).
+    """
+    q = cand_packed.shape[0]
+    per_frame = q // n_frames
+    rows = jnp.arange(q, dtype=jnp.int32)
+    sp, so, px, py, pz = jax.lax.sort(
+        (cand_packed, rows, pos_rows[:, 0], pos_rows[:, 1], pos_rows[:, 2]),
+        dimension=0, num_keys=1)
+    birth_rows = (so // per_frame).astype(jnp.int32)
+
+    valid = sp != PACKED_SENTINEL
+    head = valid & jnp.concatenate([jnp.ones((1,), bool), sp[1:] != sp[:-1]])
+    birth = _seg_copy_head(head, jnp.where(valid, birth_rows, n_frames))
+    birth = jnp.where(valid, birth, n_frames).astype(jnp.int32)
+
+    b2, k2, so2, px2, py2, pz2 = jax.lax.sort(
+        (birth.astype(jnp.uint32), sp, so, px, py, pz),
+        dimension=0, num_keys=2)
+    valid2 = k2 != PACKED_SENTINEL
+    head2 = valid2 & jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
+    urank2 = jnp.cumsum(head2.astype(jnp.int32)) - 1
+    fits = valid2 & (urank2 < capacity - 1)
+    fin = jnp.where(fits, urank2 + 1, 0)
+
+    # per-(vertex, frame) sub-runs: rows of a key run are frame-ordered
+    # because the stable sorts keep so ascending within equal (birth, key)
+    frame2 = (so2 // per_frame).astype(jnp.int32)
+    head_vf = head2 | jnp.concatenate(
+        [jnp.ones((1,), bool), frame2[1:] != frame2[:-1]])
+    tail_vf = jnp.concatenate([head_vf[1:], jnp.ones((1,), bool)])
+    w2 = fits.astype(jnp.float32)
+    data = jnp.stack([px2 * w2, py2 * w2, pz2 * w2, w2], axis=1)
+    tot = _seg_copy_tail_rows(tail_vf, _seg_sum_rows(head_vf, data))
+    mean2 = tot[:, :3] / jnp.maximum(tot[:, 3:], 1.0)
+    rel2 = (jnp.stack([px2, py2, pz2], axis=1) - mean2) * w2[:, None]
+
+    # per-(frame, vertex) valid-row counts, for the pointnet's >=4 gate
+    # (replaces its per-frame segment_sum; lattice_modules.py:527-530)
+    dst_np = jnp.where(tail_vf & fits, frame2 * capacity + fin,
+                       n_frames * capacity)
+    nr_points = jnp.zeros((n_frames * capacity,), jnp.float32).at[
+        dst_np].set(tot[:, 3], mode="drop").reshape(n_frames, capacity)
+    nr_points = nr_points.at[:, 0].set(0.0)
+
+    # back to original row order on the unsort the union needs anyway
+    _, row_idx, rx, ry, rz = jax.lax.sort(
+        (so2, fin, rel2[:, 0], rel2[:, 1], rel2[:, 2]),
+        dimension=0, num_keys=1)
+    rel = jnp.stack([rx, ry, rz], axis=1)
+
+    # capacity-sized key/birth tables: one fused scatter of the run heads
+    dst = jnp.where(head2 & fits, urank2 + 1, capacity)
+    kb = jnp.stack([k2, b2], axis=1)
+    table = jnp.full((capacity, 2), 0, jnp.uint32).at[:, 0].set(
+        PACKED_SENTINEL).at[:, 1].set(jnp.uint32(n_frames))
+    table = table.at[dst].set(kb, mode="drop")
+    packed_final = table[:, 0]
+    birth_final = table[:, 1].astype(jnp.int32)
+
+    counts = 1 + jnp.sum(
+        (birth_final[None, :] <= jnp.arange(n_frames)[:, None])
+        & (packed_final != PACKED_SENTINEL)[None, :], axis=1).astype(jnp.int32)
+    return packed_final, birth_final, row_idx, counts, rel, nr_points
 
 
 def _finish_union(sp, so, birth_rows, capacity: int, n_frames: int):
@@ -232,30 +341,27 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
     flat_keys = jnp.where(rvalid.reshape(-1)[:, None],
                           keys.reshape(-1, 3), SENTINEL)
     cand_packed = pack_keys(flat_keys)
-    cand_order = jnp.arange(t_frames * p * dp1, dtype=jnp.int32)
-    packed0, birth0, row_idx, counts0 = _union_with_birth(
-        cand_packed, cand_order, cap0, t_frames)
-
-    row_vertex = row_idx.reshape(t_frames, p * dp1)
-    row_valid = rvalid & (row_vertex > 0)
-    row_bary = jnp.where(row_valid, bary, 0.0)
-
-    # per-frame local mean of contributing point positions
     pos_rows = jnp.repeat(positions, dp1, axis=1)          # (T, P*4, 3)
-    w = row_valid.astype(jnp.float32)
+
     if subtract_local_mean:
-        # scatter cost on TPU is index-bound, not byte-bound: fuse the sums
-        # and counts into ONE 4-channel segment_sum per frame (halves the
-        # scatter passes; measured 114 -> ~60 ms at bench scale)
-        def mean_one(pr, rv, wi):
-            data = jnp.concatenate([pr * wi[:, None], wi[:, None]], axis=1)
-            s = jax.ops.segment_sum(data, rv, num_segments=cap0)
-            mean = s[:, :3] / jnp.maximum(s[:, 3:], 1.0)
-            return pr - mean[rv]
-        rel = jax.vmap(mean_one)(pos_rows, row_vertex, w)
+        # positions ride the union's sorts; the per-(vertex, frame) mean
+        # comes from segmented scans instead of scatter/gather passes
+        # (103 -> ~25 ms at bench scale, scripts/profile_r2.py)
+        packed0, birth0, row_idx, counts0, rel_flat, nr_points = \
+            _union_with_birth_and_mean(cand_packed, pos_rows.reshape(-1, 3),
+                                       cap0, t_frames)
+        rel = rel_flat.reshape(t_frames, p * dp1, 3)
+        row_vertex = row_idx.reshape(t_frames, p * dp1)
+        row_valid = rvalid & (row_vertex > 0)
     else:
-        rel = pos_rows
-    rel = rel * w[..., None]
+        cand_order = jnp.arange(t_frames * p * dp1, dtype=jnp.int32)
+        packed0, birth0, row_idx, counts0 = _union_with_birth(
+            cand_packed, cand_order, cap0, t_frames)
+        row_vertex = row_idx.reshape(t_frames, p * dp1)
+        row_valid = rvalid & (row_vertex > 0)
+        rel = pos_rows * row_valid[..., None].astype(jnp.float32)
+        nr_points = None
+    row_bary = jnp.where(row_valid, bary, 0.0)
 
     levels = []
     links = []
@@ -297,6 +403,7 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
         row_rel_pos=rel,
         point_vertex=row_vertex.reshape(t_frames, p, dp1),
         point_bary=row_bary.reshape(t_frames, p, dp1),
+        nr_points=nr_points,
     )
 
 

@@ -89,3 +89,50 @@ def test_precomputed_forward_matches_streaming(rng):
     valid = np.asarray(M[-1])
     np.testing.assert_allclose(np.asarray(logp_a)[valid],
                                np.asarray(logp_b)[valid], atol=2e-3)
+
+
+def test_union_mean_matches_scatter_reference(rng):
+    """The in-union scan-based local mean (r2 optimisation) must match the
+    straightforward per-frame segment_sum/gather computation, and the union
+    outputs must be unchanged from _union_with_birth."""
+    from temporal_latticenet_tpu.ops import seq_lattice as sl
+    from temporal_latticenet_tpu.ops.vertex_table import SENTINEL, pack_keys
+    from temporal_latticenet_tpu.ops import permutohedral as pm
+
+    T, P, cap = 3, 64, 512
+    pos = rng.normal(size=(T, P, 3)).astype(np.float32) * 2.0
+    mask = rng.random((T, P)) > 0.2
+    lat = sl.build_sequence_lattice(jnp.asarray(pos), jnp.asarray(mask),
+                                    0.6, (cap, 256, 128), 2)
+
+    # reference recomputation of rel + counts per frame
+    pos_rows = np.repeat(pos, 4, axis=1)
+    for t in range(T):
+        rv = np.asarray(lat.row_vertex[t])
+        valid = np.asarray(lat.row_valid[t])
+        sums = np.zeros((cap, 3)); cnts = np.zeros(cap)
+        for r in np.nonzero(valid)[0]:
+            sums[rv[r]] += pos_rows[t, r]
+            cnts[rv[r]] += 1
+        mean = sums / np.maximum(cnts, 1)[:, None]
+        want_rel = (pos_rows[t] - mean[rv]) * valid[:, None]
+        np.testing.assert_allclose(np.asarray(lat.row_rel_pos[t]), want_rel,
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(lat.nr_points[t]), cnts,
+                                   atol=0)
+
+    # union outputs identical to the plain union
+    elev = pm.elevate(jnp.asarray(pos.reshape(T * P, 3)), 0.6)
+    keys, _ = pm.find_enclosing_simplex(elev)
+    rvalid = np.repeat(mask, 4, axis=1).reshape(-1)
+    flat = jnp.where(jnp.asarray(rvalid)[:, None],
+                     keys.reshape(-1, 3), SENTINEL)
+    packed = pack_keys(flat)
+    order = jnp.arange(T * P * 4, dtype=jnp.int32)
+    p0, b0, ri0, c0 = sl._union_with_birth(packed, order, cap, T)
+    p1, b1, ri1, c1, _, _ = sl._union_with_birth_and_mean(
+        packed, jnp.asarray(pos_rows.reshape(-1, 3)), cap, T)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(ri0), np.asarray(ri1))
+    np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
