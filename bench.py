@@ -8,6 +8,16 @@ the 4 frames of a sequence divided by wall time per sequence, on one chip,
 flagship gru-gru-aflow-gru model at SemanticKITTI scale (~120k pts/scan,
 sigma 0.6).
 
+Geometry (r2, VERDICT item 6): scans come from the ray-cast LiDAR simulator
+(data/lidar_like.py) -- ring structure, range-dependent density, pose drift
+-- whose lattice occupancy matches real SemanticKITTI (~20-35k occupied
+level-0 vertices per 4-frame union at sigma 0.6; measured by
+scripts/occupancy.py and recorded in bench_details.json).  Static capacities
+are sized to that occupancy with ~40% headroom.  The r1 uniform-ish
+synthetic generator saturated a 98304-vertex table from frame 0 (silently
+dropping vertices) and is kept behind --generator synthetic for
+cross-round comparison.
+
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
 ratio against a documented ESTIMATE of the reference's A100 throughput:
 ~50 ms/frame for the CUDA pipeline on ~120k-point scans -> 4*120k/0.2 s
@@ -27,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
 from temporal_latticenet_tpu.data.synthetic import synthetic_sequence
 from temporal_latticenet_tpu.models import LNNSeq
 from temporal_latticenet_tpu.train.engine import make_sequence_forward
@@ -44,24 +55,37 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=120_000)
     ap.add_argument("--max-points", type=int, default=131_072)
-    ap.add_argument("--capacity", type=int, default=98_304)
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="level-0 capacity; 0 = per-generator default")
+    ap.add_argument("--generator", choices=("lidar", "synthetic"),
+                    default="lidar")
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
     args = ap.parse_args()
 
+    # capacity defaults sized to measured occupancy (scripts/occupancy.py):
+    # lidar 4-frame union peaks ~35k level-0 vertices -> 49152 (~40% head);
+    # the legacy synthetic generator needs the r1 sizing
+    capacity = args.capacity or (49152 if args.generator == "lidar"
+                                 else 98304)
     rt = RuntimeConfig(max_points=args.max_points,
-                       capacity_level0=args.capacity,
+                       capacity_level0=capacity,
                        capacity_decay=0.5, min_capacity=8192, sigma=0.6)
     cfg = FLAGSHIP
     model = LNNSeq(cfg, rt)
     seq_fwd = make_sequence_forward(model, cfg, rt)
 
     rng = np.random.default_rng(0)
-    p, v, l, m = synthetic_sequence(rng, frames=args.frames,
-                                    n_points=args.points,
+    if args.generator == "lidar":
+        p, v, l, m = lidar_sequence(rng, frames=args.frames,
                                     max_points=rt.max_points)
+    else:
+        p, v, l, m = synthetic_sequence(rng, frames=args.frames,
+                                        n_points=args.points,
+                                        max_points=rt.max_points)
     positions, values, mask = jnp.asarray(p), jnp.asarray(v), jnp.asarray(m)
+    points_per_frame = int(m.sum(1).mean())
 
     from temporal_latticenet_tpu.models import init_state
     init_fn = jax.jit(lambda k, p_, v_, m_, s: model.init(k, p_, v_, m_, s,
@@ -69,6 +93,15 @@ def main():
     variables = init_fn(jax.random.PRNGKey(0), positions[0], values[0],
                         mask[0], init_state(cfg, rt))
     params = {"params": variables["params"]}
+
+    # occupancy of this exact input (honesty check: capacities must not be
+    # saturated, or vertices are silently dropped)
+    from temporal_latticenet_tpu.ops import seq_lattice as sl
+    caps = rt.capacities(cfg.nr_downsamples)
+    lat = jax.jit(lambda p_, m_: sl.build_sequence_lattice(
+        p_, m_, rt.sigma, caps, cfg.nr_downsamples))(positions, mask)
+    occupancy = [int(np.asarray(lvl.counts)[-1]) for lvl in lat.levels]
+    del lat
 
     # reduce on device and fetch the scalar to host: a plain
     # block_until_ready can be a no-op through remote-TPU proxies, so the
@@ -87,7 +120,7 @@ def main():
         float(fwd(params, positions, values, mask))
     dt = (time.perf_counter() - t0) / args.iters
 
-    pts_per_sec = args.frames * args.points / dt
+    pts_per_sec = args.frames * points_per_frame / dt
     result = {
         "metric": "semantickitti_4frame_seq_inference",
         "value": round(pts_per_sec, 1),
@@ -100,8 +133,11 @@ def main():
     with open("bench_details.json", "w") as f:
         json.dump({**result, "seconds_per_sequence": dt,
                    "compile_seconds": compile_s,
-                   "points_per_frame": args.points,
+                   "points_per_frame": points_per_frame,
                    "frames": args.frames,
+                   "generator": args.generator,
+                   "capacities": list(caps),
+                   "occupancy_final_union": occupancy,
                    "backend": jax.default_backend(),
                    "device": str(jax.devices()[0])}, f, indent=2)
 

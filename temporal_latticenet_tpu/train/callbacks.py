@@ -112,9 +112,14 @@ class WandBCallback(Callback):
             self.run = None
 
     def after_forward_pass(self, *, phase=None, loss=0.0, loss_dice=0.0,
-                           lr=0.0, **kw):
+                           lr=0.0, grad_norm=None, **kw):
         if self.wandb and phase is not None and phase.grad:
-            self.wandb.log({"loss": loss, "loss_dice": loss_dice, "lr": lr})
+            log = {"loss": loss, "loss_dice": loss_dice, "lr": lr}
+            # gradient observability, the analog of wandb.watch(model)
+            # (reference callbacks/wandb_callback.py:18)
+            if grad_norm is not None:
+                log["grad_norm"] = grad_norm
+            self.wandb.log(log)
 
     def epoch_ended(self, *, phase=None, **kw):
         if self.wandb and phase is not None:

@@ -216,9 +216,15 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                                        state.params["params"])
         params = {"params": optax.apply_updates(state.params["params"], updates)}
         new_state = TrainState(params, opt_state, state.step + 1)
+        # gradient observability: the flax analog of the reference's
+        # wandb.watch(model) gradient tracking (callbacks/wandb_callback.py:18)
+        gsq = jax.tree_util.tree_map(lambda g: jnp.sum(g.astype(jnp.float32)
+                                                       ** 2), grads["params"])
+        grad_norm = jnp.sqrt(sum(jax.tree_util.tree_leaves(gsq)))
         metrics = {"loss": loss,
                    "lovasz": jnp.mean(parts["lovasz"]),
                    "nll": jnp.mean(parts["nll"]),
+                   "grad_norm": grad_norm,
                    "nr_vertices": jnp.max(aux["nr_vertices"])}
         return new_state, logp, metrics
 

@@ -154,6 +154,8 @@ def run_training(config_file: str, max_steps: int | None = None,
                 last = frames[-1]
                 cb.after_forward_pass(
                     phase=phase, loss=float(metrics["loss"]),
+                    loss_dice=float(metrics.get("lovasz", 0.0)),
+                    grad_norm=float(metrics.get("grad_norm", 0.0)),
                     pred_logits=np.asarray(logp[0])[last.mask],
                     target=last.labels[last.mask],
                     ignore_index=ignore_index, lr=lr_scale)
