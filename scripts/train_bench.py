@@ -16,13 +16,20 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=120_000)
-    ap.add_argument("--capacity", type=int, default=98_304)
+    ap.add_argument("--capacity", type=int, default=0,
+                    help="level-0 capacity; 0 = per-generator default")
+    ap.add_argument("--generator", choices=("lidar", "synthetic"),
+                    default="lidar")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
     from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+    from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
     from temporal_latticenet_tpu.data.synthetic import synthetic_sequence
     from temporal_latticenet_tpu.train import engine
+
+    args.capacity = args.capacity or (49152 if args.generator == "lidar"
+                                      else 98304)
 
     rt = RuntimeConfig(max_points=131072, capacity_level0=args.capacity,
                        capacity_decay=0.5, min_capacity=8192, sigma=0.6)
@@ -33,7 +40,10 @@ def main():
     train_step, _ = engine.make_train_step(model, cfg, rt, tx)
 
     rng = np.random.default_rng(0)
-    p, v, l, m = synthetic_sequence(rng, 4, args.points, rt.max_points)
+    if args.generator == "lidar":
+        p, v, l, m = lidar_sequence(rng, 4, rt.max_points)
+    else:
+        p, v, l, m = synthetic_sequence(rng, 4, args.points, rt.max_points)
     batch = engine.SeqBatch(jnp.asarray(p)[None], jnp.asarray(v)[None],
                             jnp.asarray(l)[None], jnp.asarray(m)[None])
 

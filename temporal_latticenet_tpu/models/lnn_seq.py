@@ -258,5 +258,12 @@ class LNNSeq(nn.Module):
                              deterministic)
         logp = jax.nn.log_softmax(sv, axis=-1)
         aux["nr_vertices"] = counts[0]
+        # capacity saturation flag: count == capacity means insertions were
+        # dropped to the row-0 bucket this sequence (the "-1 on failed
+        # insert" contract); surfaced in train metrics so silent drops are
+        # visible (r1 shipped a bench that saturated level 0 unnoticed)
+        caps = rt.capacities(L)
+        aux["vertex_overflow"] = jnp.any(jnp.stack(
+            [counts[l] >= caps[l] for l in range(L + 1)]))
         aux["point_vertex"] = dist.point_vertex
         return (logp, sv), pack_state(), aux

@@ -225,7 +225,8 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                    "lovasz": jnp.mean(parts["lovasz"]),
                    "nll": jnp.mean(parts["nll"]),
                    "grad_norm": grad_norm,
-                   "nr_vertices": jnp.max(aux["nr_vertices"])}
+                   "nr_vertices": jnp.max(aux["nr_vertices"]),
+                   "vertex_overflow": jnp.any(aux["vertex_overflow"])}
         return new_state, logp, metrics
 
     @jax.jit
@@ -234,7 +235,8 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
             loss_one, in_axes=(None, 0, 0, 0, 0))(
                 params, batch.positions, batch.values, batch.labels, batch.mask)
         return logp, {"loss": jnp.mean(losses),
-                      "nr_vertices": jnp.max(aux["nr_vertices"])}
+                      "nr_vertices": jnp.max(aux["nr_vertices"]),
+                      "vertex_overflow": jnp.any(aux["vertex_overflow"])}
 
     return train_step, eval_step
 

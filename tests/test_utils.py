@@ -155,3 +155,63 @@ def test_evaluate_semantics_pipeline(tmp_path):
         str(tmp_path / "data"), str(tmp_path / "preds"), split="valid",
         pred_format="raw")
     assert np.isclose(avg, avg3)
+
+
+def test_autotune_capacities():
+    """autotune returns lane-rounded capacities with headroom that admit the
+    measured occupancy, and rejects a saturated probe."""
+    import numpy as np
+    import pytest
+    from temporal_latticenet_tpu.utils.autotune import autotune_capacities
+
+    rng = np.random.default_rng(0)
+    seqs = []
+    for _ in range(2):
+        pos = rng.normal(size=(2, 256, 3)).astype(np.float32) * 3
+        mask = np.ones((2, 256), bool)
+        seqs.append((pos, mask))
+
+    caps = autotune_capacities(seqs, nr_downsamples=2, sigma=0.6,
+                               probe_capacity=16384, min_capacity=256)
+    assert len(caps) == 3
+    assert all(c % 256 == 0 for c in caps)
+    assert caps[0] >= caps[1] >= caps[2] >= 256
+
+    with pytest.raises(ValueError):
+        autotune_capacities(seqs, nr_downsamples=2, sigma=0.6,
+                            probe_capacity=128, min_capacity=128)
+
+    with pytest.raises(ValueError):
+        autotune_capacities([], nr_downsamples=2, sigma=0.6)
+
+
+def test_vertex_overflow_flag():
+    """aux.vertex_overflow fires exactly when a level's table saturates."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+    from temporal_latticenet_tpu.models import LNNSeq, init_state
+
+    cfg = ModelConfig(nr_classes=4, pointnet_layers=(4, 8),
+                      pointnet_start_nr_channels=8,
+                      nr_blocks_down_stage=(1, 1, 1), nr_blocks_bottleneck=1,
+                      nr_blocks_up_stage=(1, 1, 1), sequence_learning=False,
+                      rnn_modules=("none",) * 4, frames_per_seq=1)
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.normal(size=(128, 3)).astype(np.float32) * 5)
+    val = jnp.ones((128, 1)); msk = jnp.ones((128,), bool)
+
+    def overflow(cap0):
+        rt = RuntimeConfig(max_points=128, capacity_level0=cap0,
+                           capacity_decay=1.0, min_capacity=cap0, sigma=0.6)
+        model = LNNSeq(cfg, rt)
+        v = jax.jit(lambda k: model.init(k, pos, val, msk,
+                                         init_state(cfg, rt), final=True)
+                    )(jax.random.PRNGKey(0))
+        _, _, aux = model.apply({"params": v["params"]}, pos, val, msk,
+                                init_state(cfg, rt), final=True)
+        return bool(aux["vertex_overflow"])
+
+    assert overflow(128) is True       # 128 points x 4 corners >> 128 slots
+    assert overflow(4096) is False
