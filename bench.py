@@ -78,8 +78,11 @@ def main():
 
     rng = np.random.default_rng(0)
     if args.generator == "lidar":
+        # --points controls the ray count (64 beams x points/64 azimuths);
+        # actual returns come out ~6% lower (sky / out-of-range rays)
         p, v, l, m = lidar_sequence(rng, frames=args.frames,
-                                    max_points=rt.max_points)
+                                    max_points=rt.max_points,
+                                    n_az=max(256, args.points // 64))
     else:
         p, v, l, m = synthetic_sequence(rng, frames=args.frames,
                                         n_points=args.points,
@@ -94,30 +97,40 @@ def main():
                         mask[0], init_state(cfg, rt))
     params = {"params": variables["params"]}
 
-    # occupancy of this exact input (honesty check: capacities must not be
-    # saturated, or vertices are silently dropped)
-    from temporal_latticenet_tpu.ops import seq_lattice as sl
-    caps = rt.capacities(cfg.nr_downsamples)
-    lat = jax.jit(lambda p_, m_: sl.build_sequence_lattice(
-        p_, m_, rt.sigma, caps, cfg.nr_downsamples))(positions, mask)
-    occupancy = [int(np.asarray(lvl.counts)[-1]) for lvl in lat.levels]
-    del lat
-
     # reduce on device and fetch the scalar to host: a plain
     # block_until_ready can be a no-op through remote-TPU proxies, so the
-    # timing loop forces a real round-trip through the full computation
-    fwd = jax.jit(lambda prm, p_, v_, m_: seq_fwd(prm, p_, v_, m_)[0].sum())
+    # timing loop forces a real round-trip through the full computation.
+    # The forward's aux carries per-level occupancy, so the honesty check
+    # below costs no extra compile.
+    caps = rt.capacities(cfg.nr_downsamples)
+
+    def _fwd(prm, p_, v_, m_):
+        logp, sv, aux = seq_fwd(prm, p_, v_, m_)
+        return logp.sum(), aux["occupancy"]
+
+    fwd = jax.jit(_fwd)
 
     t0 = time.perf_counter()
-    float(fwd(params, positions, values, mask))
+    s, occ = fwd(params, positions, values, mask)
+    float(s)
     compile_s = time.perf_counter() - t0
+    occupancy = [int(x) for x in np.asarray(occ)]
+
+    # honesty check: a saturated table silently drops vertices, making the
+    # measured workload SMALLER than the input deserves (the r1 failure)
+    saturated = [o >= c for o, c in zip(occupancy, caps)]
+    if any(saturated):
+        import sys
+        print(f"WARNING: vertex table saturated (occupancy {occupancy} vs "
+              f"capacities {list(caps)}); the headline number is measured "
+              f"with dropped vertices -- raise --capacity", file=sys.stderr)
 
     for _ in range(args.warmup):
-        float(fwd(params, positions, values, mask))
+        float(fwd(params, positions, values, mask)[0])
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
-        float(fwd(params, positions, values, mask))
+        float(fwd(params, positions, values, mask)[0])
     dt = (time.perf_counter() - t0) / args.iters
 
     pts_per_sec = args.frames * points_per_frame / dt
@@ -138,6 +151,7 @@ def main():
                    "generator": args.generator,
                    "capacities": list(caps),
                    "occupancy_final_union": occupancy,
+                   "saturated": any(saturated),
                    "backend": jax.default_backend(),
                    "device": str(jax.devices()[0])}, f, indent=2)
 

@@ -42,8 +42,10 @@ def main():
     from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
 
     max_pts = 131072
+    # decay 0.5 matches the capacities bench.py and the shipped runtime
+    # configs actually run with (fill ratios are against REAL capacities)
     rt = RuntimeConfig(max_points=max_pts, capacity_level0=args.capacity,
-                       capacity_decay=0.75, min_capacity=8192, sigma=0.6)
+                       capacity_decay=0.5, min_capacity=8192, sigma=0.6)
     caps = rt.capacities(2)
 
     rng = np.random.default_rng(0)

@@ -185,6 +185,12 @@ class ParisLille3DDataset:
             last_n = frames[-1][0].shape[0]
             if xyz.shape[0] > self.max_points:
                 # keep the newest points; the last scan is scored/written
+                if not getattr(self, "_warned_accum_overflow", False):
+                    print(f"[parislille] accumulate: {xyz.shape[0]} points "
+                          f"exceed max_points={self.max_points}; dropping "
+                          f"oldest -- raise runtime.max_points for "
+                          f"accumulate configs")
+                    self._warned_accum_overflow = True
                 xyz, vals, lab = (xyz[-self.max_points:], vals[-self.max_points:],
                                   lab[-self.max_points:])
             return [pad_frame(xyz, vals, lab, self.max_points, frames[-1][3],

@@ -258,10 +258,13 @@ class LNNSeq(nn.Module):
                              deterministic)
         logp = jax.nn.log_softmax(sv, axis=-1)
         aux["nr_vertices"] = counts[0]
-        # capacity saturation flag: count == capacity means insertions were
-        # dropped to the row-0 bucket this sequence (the "-1 on failed
-        # insert" contract); surfaced in train metrics so silent drops are
-        # visible (r1 shipped a bench that saturated level 0 unnoticed)
+        aux["occupancy"] = jnp.stack([counts[l] for l in range(L + 1)])
+        # saturation flag: count == capacity means the table is FULL -- zero
+        # headroom, and any further unique vertices were dropped to the
+        # row-0 bucket (the "-1 on failed insert" contract).  An exactly-
+        # full table with no drops also fires; either way the capacity must
+        # be raised.  Surfaced in train metrics so this is never silent
+        # (r1 shipped a bench that saturated level 0 unnoticed).
         caps = rt.capacities(L)
         aux["vertex_overflow"] = jnp.any(jnp.stack(
             [counts[l] >= caps[l] for l in range(L + 1)]))

@@ -162,8 +162,9 @@ def run_training(config_file: str, max_steps: int | None = None,
 
                 steps_done += 1
                 if bool(metrics.get("vertex_overflow", False)):
-                    print("WARNING: vertex table saturated this sequence -- "
-                          "points dropped to the invalid bucket; raise "
+                    print("WARNING: vertex table saturated this sequence "
+                          "(capacity reached; any further vertices were "
+                          "dropped to the invalid bucket); raise "
                           "runtime.capacity_level0 (see utils/autotune.py)")
                 # periodic fault-tolerance checkpoint (weights + optimiser +
                 # step): the failure-recovery layer the reference lacks
