@@ -85,10 +85,17 @@ def elevate(positions: jax.Array, sigma: jax.Array | float) -> jax.Array:
     d = positions.shape[-1]
     s = jnp.asarray(scale_factors(d))
     y = (positions / sigma).astype(jnp.float32) * s
-    E = jnp.asarray(elevation_matrix(d))
-    # HIGHEST precision: the result is rounded to integer lattice keys, so
-    # the TPU's default bf16 matmul would mis-assign vertices.
-    return jnp.dot(y, E.T, precision=jax.lax.Precision.HIGHEST)
+    # Elementwise form, NOT a matmul: the result is rounded to integer
+    # lattice keys so it needs full f32 precision, and a tiny-K
+    # HIGHEST-precision dot lowers pathologically on TPU (measured 30 ms
+    # for 524k points vs ~1 ms elementwise -- scripts/profile_union.py r2
+    # bisection).  elevated[i] = sum_{j>=i} y_j - i * y_{i-1}.
+    suffix = jnp.cumsum(y[..., ::-1], axis=-1)[..., ::-1]  # (N, d): sum_{j>=i} y_j
+    cols = [suffix[..., 0]]
+    for i in range(1, d + 1):
+        tail = suffix[..., i] if i < d else 0.0
+        cols.append(tail - float(i) * y[..., i - 1])
+    return jnp.stack(cols, axis=-1)
 
 
 def _rank_differential(diff: jax.Array) -> jax.Array:
@@ -131,7 +138,11 @@ def find_enclosing_simplex(elevated: jax.Array):
     rem0 = rem0.astype(jnp.int32)
 
     # How far the rounded point strays off the hyperplane, in units of (d+1).
-    sum_g = jnp.sum(rem0, axis=-1) // dp1  # exact: every rem0 coord is a multiple of d+1
+    sum_s = jnp.sum(rem0, axis=-1)  # exact multiple of d+1
+    if dp1 & (dp1 - 1) == 0:
+        sum_g = sum_s >> int(dp1).bit_length() - 1  # exact-multiple shift
+    else:
+        sum_g = sum_s // dp1
 
     diff = elevated - rem0.astype(jnp.float32)
     rank = _rank_differential(diff)
@@ -146,9 +157,16 @@ def find_enclosing_simplex(elevated: jax.Array):
     # Barycentric coordinates from the ranked residuals.
     delta = (elevated - rem0.astype(jnp.float32)) / f_dp1  # (N, d+1)
     # bary[d - rank[i]] += delta[i];  bary[d + 1 - rank[i]] -= delta[i]
-    onehot_lo = jax.nn.one_hot(d - rank, dp1 + 1, dtype=delta.dtype)
-    onehot_hi = jax.nn.one_hot(dp1 - rank, dp1 + 1, dtype=delta.dtype)
-    bary_ext = jnp.einsum("...i,...ik->...k", delta, onehot_lo - onehot_hi)
+    # Computed as an elementwise masked reduce over the tiny (d+1, d+2)
+    # axis pair: an einsum against one-hots lowers to 500k+ batched (1,4)x
+    # (4,5) dot_generals, which is pathological MXU tiling (profiled at
+    # tens of ms for 2M rows -- scripts/profile_union.py).
+    k = np.arange(dp1 + 1, dtype=np.int32)                 # (d+2,)
+    lo = (d - rank)[..., :, None] == k                     # (N, d+1, d+2)
+    hi = (dp1 - rank)[..., :, None] == k
+    bary_ext = jnp.sum(delta[..., :, None]
+                       * (lo.astype(delta.dtype) - hi.astype(delta.dtype)),
+                       axis=-2)                            # (N, d+2)
     bary = bary_ext[..., :dp1]
     bary = bary.at[..., 0].add(1.0 + bary_ext[..., dp1])
 

@@ -52,9 +52,14 @@ _MMAX = 1021  # (coord-r)/4 + _BIAS must stay in [0, _MMAX] < 1023
 
 def pack_keys(keys: jax.Array) -> jax.Array:
     """(Q, 3) int32 lattice keys -> (Q,) uint32; PACKED_SENTINEL when any
-    coordinate is out of the representable range (or is the SENTINEL pad)."""
-    r = jnp.mod(keys[:, 0], _DP1).astype(jnp.int32)
-    m = (keys - r[:, None]) // _DP1 + _BIAS  # (Q, 3), valid in [0, _MMAX]
+    coordinate is out of the representable range (or is the SENTINEL pad).
+
+    mod/div by d+1 = 4 are bitwise (& 3, >> 2): two's-complement arithmetic
+    shift and AND implement floor semantics for negatives exactly, and the
+    VPU has no integer divider (a real // 4 costs ~9 ms at 2M rows,
+    scripts/profile_union.py r2 bisection)."""
+    r = keys[:, 0] & 3                        # floor-mod 4, negatives incl.
+    m = ((keys - r[:, None]) >> 2) + _BIAS    # exact multiples: >>2 == //4
     in_range = jnp.all((m >= 0) & (m <= _MMAX), axis=-1)
     in_range &= keys[:, 0] != SENTINEL
     mu = m.astype(jnp.uint32)
