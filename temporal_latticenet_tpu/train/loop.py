@@ -121,6 +121,25 @@ def run_training(config_file: str, max_steps: int | None = None,
         os.makedirs(profiler_dir, exist_ok=True)
         _jax.profiler.start_trace(profiler_dir)
 
+    # batch_size > 1 shards whole sequences across the dp device mesh
+    # (the reference hardcodes batch_size=1 and has no distributed layer --
+    # SURVEY.md 2.7; this is the TPU-native scaling path, tested for exact
+    # gradient agreement in tests/test_train.py)
+    bs = int(train_cfg.get("batch_size", 1))
+    dp_mesh = None
+    if bs > 1:
+        import jax as _jax
+        from ..parallel import mesh as pmesh
+        n_dev = min(bs, _jax.local_device_count())
+        if n_dev > 1 and bs % n_dev == 0:
+            dp_mesh = pmesh.make_mesh(n_dev)
+            state = engine.TrainState(
+                pmesh.replicate(dp_mesh, state.params),
+                pmesh.replicate(dp_mesh, state.opt_state), state.step)
+            print(f"data parallel: {bs} sequences/step over {n_dev} devices")
+        else:
+            print(f"batch_size={bs} on one device (vmapped)")
+
     phases = [Phase("train", datasets["train"], grad=True),
               Phase("valid", datasets["valid"], grad=False)]
 
@@ -136,29 +155,45 @@ def run_training(config_file: str, max_steps: int | None = None,
             order = _sequence_order(len(phase.loader),
                                     phase.grad and loader_cfg.get("shuffle", False),
                                     rng)
-            n_seq = len(order)
+            group = bs if phase.grad else 1
+            n_steps_epoch = max(len(order) // group, 1)
             it = _prefetch(phase.loader[int(i)] for i in order)
-            for seq_i, frames in enumerate(it):
-                batch = engine.SeqBatch.stack([frames])
+
+            def grouped(items, k):
+                buf = []
+                for item in items:
+                    buf.append(item)
+                    if len(buf) == k:
+                        yield buf
+                        buf = []
+                # remainder dropped when k > 1: sharded steps need a full
+                # batch; one epoch's tail rejoins via next epoch's shuffle
+
+            for seq_i, seqs in enumerate(grouped(it, group)):
+                batch = engine.SeqBatch.stack(seqs)
                 if phase.grad:
                     if scheduler_kind == "CosineAnnealingWarmRestarts":
-                        frac = phase.epoch_nr + seq_i / max(n_seq, 1)
+                        frac = phase.epoch_nr + seq_i / n_steps_epoch
                         lr_scale = optim.cosine_warm_restarts(frac, restart_epochs)
                     else:
                         lr_scale = plateau.scale
+                    if dp_mesh is not None:
+                        from ..parallel import mesh as pmesh
+                        batch = pmesh.shard_batch(dp_mesh, batch)
                     state, logp, metrics = train_step(state, batch, lr_scale)
                 else:
                     logp, metrics = eval_step(state.params, batch)
                     lr_scale = 0.0
 
-                last = frames[-1]
-                cb.after_forward_pass(
-                    phase=phase, loss=float(metrics["loss"]),
-                    loss_dice=float(metrics.get("lovasz", 0.0)),
-                    grad_norm=float(metrics.get("grad_norm", 0.0)),
-                    pred_logits=np.asarray(logp[0])[last.mask],
-                    target=last.labels[last.mask],
-                    ignore_index=ignore_index, lr=lr_scale)
+                for bi, frames in enumerate(seqs):
+                    last = frames[-1]
+                    cb.after_forward_pass(
+                        phase=phase, loss=float(metrics["loss"]),
+                        loss_dice=float(metrics.get("lovasz", 0.0)),
+                        grad_norm=float(metrics.get("grad_norm", 0.0)),
+                        pred_logits=np.asarray(logp[bi])[last.mask],
+                        target=last.labels[last.mask],
+                        ignore_index=ignore_index, lr=lr_scale)
 
                 steps_done += 1
                 if bool(metrics.get("vertex_overflow", False)):

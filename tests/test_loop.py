@@ -253,3 +253,29 @@ def test_accumulate_eval_trims_to_last_scan(tiny_world):
     assert label_files, "prediction .label files must be written"
     raw = np.fromfile(label_files[0], dtype=np.uint32)
     assert raw.shape[0] == 40, raw.shape
+
+
+def test_run_training_batch_data_parallel(tiny_world):
+    """batch_size > 1 shards whole sequences across the dp mesh inside the
+    real training loop (the CLI path, not just the engine test)."""
+    tmp_path, cfg_path = tiny_world
+    text = open(cfg_path).read().replace("batch_size: 1", "batch_size: 2")
+    bp = tmp_path / "cfg_dp.cfg"
+    bp.write_text(text)
+
+    from temporal_latticenet_tpu.config import (cfgParser,
+                                                model_config_from_cfg,
+                                                nr_classes_from_cfg,
+                                                runtime_config_from_cfg)
+    parser = cfgParser(str(bp))
+    cfg = model_config_from_cfg(parser, nr_classes_from_cfg(parser))
+    rt = runtime_config_from_cfg(parser)
+    datasets = tloop.make_datasets(parser, cfg, rt)
+
+    # 3 train sequences at group size 2 -> one optimiser step per epoch
+    # (remainder dropped); max_steps counts train+valid iterations
+    state = tloop.run_training(str(bp), max_steps=2, datasets=datasets)
+    assert int(state.step) >= 1
+    import numpy as np
+    for leaf in __import__("jax").tree_util.tree_leaves(state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
