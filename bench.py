@@ -53,7 +53,10 @@ FLAGSHIP = ModelConfig(
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--points", type=int, default=120_000)
+    ap.add_argument("--points", type=int, default=0,
+                    help="target points per scan (lidar: ray count); "
+                    "0 = fill max-points (the static row count that "
+                    "actually drives the work)")
     ap.add_argument("--max-points", type=int, default=131_072)
     ap.add_argument("--capacity", type=int, default=0,
                     help="level-0 capacity; 0 = per-generator default")
@@ -77,15 +80,18 @@ def main():
     seq_fwd = make_sequence_forward(model, cfg, rt)
 
     rng = np.random.default_rng(0)
+    points = args.points or rt.max_points
     if args.generator == "lidar":
         # --points controls the ray count (64 beams x points/64 azimuths);
-        # actual returns come out ~6% lower (sky / out-of-range rays)
+        # actual returns come out ~6% lower (sky / out-of-range rays).
+        # Default fills max_points rays: the padded row count is static, so
+        # fewer real returns do the same work for fewer counted points.
         p, v, l, m = lidar_sequence(rng, frames=args.frames,
                                     max_points=rt.max_points,
-                                    n_az=max(256, args.points // 64))
+                                    n_az=max(256, points // 64))
     else:
         p, v, l, m = synthetic_sequence(rng, frames=args.frames,
-                                        n_points=args.points,
+                                        n_points=min(points, 120_000),
                                         max_points=rt.max_points)
     positions, values, mask = jnp.asarray(p), jnp.asarray(v), jnp.asarray(m)
     points_per_frame = int(m.sum(1).mean())
@@ -152,6 +158,12 @@ def main():
                    "capacities": list(caps),
                    "occupancy_final_union": occupancy,
                    "saturated": any(saturated),
+                   # the A100 constant is an ESTIMATE (the reference
+                   # publishes no numbers; paper unfetchable here); the
+                   # range brackets 25-100 ms/frame at 120k pts
+                   "vs_baseline_range": [
+                       round(pts_per_sec / 4.8e6, 3),
+                       round(pts_per_sec / 1.2e6, 3)],
                    "backend": jax.default_backend(),
                    "device": str(jax.devices()[0])}, f, indent=2)
 

@@ -1,0 +1,96 @@
+"""Online (streaming) per-frame inference latency: the serving path.
+
+The offline bench (bench.py) processes a whole 4-frame sequence in one
+program via the birth-tagged lattice build; a deployed system instead sees
+one scan at a time and carries lattice+hidden state (the reference's
+per-frame ``model(lattice, positions, values, early_return)`` --
+train_ln.py:163-175).  This measures that path's per-frame latency with
+real host round-trips: trimmed frames (state update only) and the final
+frame (full logits).
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--capacity", type=int, default=49152)
+    ap.add_argument("--iters", type=int, default=5)
+    args = ap.parse_args()
+
+    from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+    from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
+    from temporal_latticenet_tpu.models import LNNSeq, init_state
+    from temporal_latticenet_tpu.train.engine import make_streaming_inference
+
+    rt = RuntimeConfig(max_points=131072, capacity_level0=args.capacity,
+                       capacity_decay=0.5, min_capacity=8192, sigma=0.6)
+    cfg = ModelConfig(nr_classes=26,
+                      rnn_modules=("gru", "gru", "aflow", "gru"),
+                      frames_per_seq=4)
+    model = LNNSeq(cfg, rt)
+
+    rng = np.random.default_rng(0)
+    p, v, l, m = lidar_sequence(rng, 4, rt.max_points)
+    P, V, M = jnp.asarray(p), jnp.asarray(v), jnp.asarray(m)
+    pts = int(m.sum(1).mean())
+
+    init_fn = jax.jit(lambda k: model.init(
+        k, P[0], V[0], M[0], init_state(cfg, rt), final=True))
+    params = {"params": init_fn(jax.random.PRNGKey(0))["params"]}
+
+    new_state_fn, step_fn, final_fn = make_streaming_inference(model, cfg, rt)
+
+    def run_seq():
+        s = new_state_fn()
+        for t in range(3):
+            s = step_fn(params, P[t], V[t], M[t], s)
+        logp, sv, s, aux = final_fn(params, P[3], V[3], M[3], s)
+        return float(logp.sum())
+
+    t0 = time.perf_counter()
+    run_seq()
+    compile_s = time.perf_counter() - t0
+    run_seq()
+
+    # per-frame latencies
+    trim_ts, final_ts = [], []
+    for _ in range(args.iters):
+        s = new_state_fn()
+        float(s.h[0].sum())
+        for t in range(3):
+            t0 = time.perf_counter()
+            s = step_fn(params, P[t], V[t], M[t], s)
+            # force a host fetch THROUGH the compute (block_until_ready can
+            # lie through the tunnel)
+            float(s.h[0].sum())
+            trim_ts.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        logp, sv, s, aux = final_fn(params, P[3], V[3], M[3], s)
+        float(logp.sum())
+        final_ts.append(time.perf_counter() - t0)
+
+    trim_ms = float(np.median(trim_ts) * 1e3)
+    final_ms = float(np.median(final_ts) * 1e3)
+    out = {
+        "metric": "streaming_per_frame_latency",
+        "trimmed_frame_ms": round(trim_ms, 1),
+        "final_frame_ms": round(final_ms, 1),
+        "points_per_frame": pts,
+        "compile_seconds": round(compile_s, 1),
+        "note": "per-dispatch host round-trip ~31 ms is included in each",
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
