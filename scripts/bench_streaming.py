@@ -30,7 +30,8 @@ def main():
     from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
     from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
     from temporal_latticenet_tpu.models import LNNSeq, init_state
-    from temporal_latticenet_tpu.train.engine import make_streaming_inference
+    from temporal_latticenet_tpu.train.engine import (
+        make_streaming_inference, make_streaming_inference_incremental)
 
     rt = RuntimeConfig(max_points=131072, capacity_level0=args.capacity,
                        capacity_decay=0.5, min_capacity=8192, sigma=0.6)
@@ -81,12 +82,47 @@ def main():
 
     trim_ms = float(np.median(trim_ts) * 1e3)
     final_ms = float(np.median(final_ts) * 1e3)
+
+    # ---- incremental serving path --------------------------------------
+    new_fn, istep, ifinal = make_streaming_inference_incremental(
+        model, cfg, rt, max_new=8192)
+
+    def run_inc():
+        s, fs = new_fn()
+        for t in range(3):
+            s, fs = istep(params, P[t], V[t], M[t], s, fs)
+        logp, sv, s, fs, aux = ifinal(params, P[3], V[3], M[3], s, fs)
+        return float(logp.sum())
+
+    t0 = time.perf_counter()
+    run_inc()
+    inc_compile_s = time.perf_counter() - t0
+    run_inc()
+
+    itrim, ifin = [], []
+    for _ in range(args.iters):
+        s, fs = new_fn()
+        float(s.h[0].sum())
+        for t in range(3):
+            t0 = time.perf_counter()
+            s, fs = istep(params, P[t], V[t], M[t], s, fs)
+            float(s.h[0].sum())
+            if t > 0:  # frame 0 takes the full-build branch
+                itrim.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        logp, sv, s, fs, aux = ifinal(params, P[3], V[3], M[3], s, fs)
+        float(logp.sum())
+        ifin.append(time.perf_counter() - t0)
+
     out = {
         "metric": "streaming_per_frame_latency",
         "trimmed_frame_ms": round(trim_ms, 1),
         "final_frame_ms": round(final_ms, 1),
+        "incremental_trimmed_frame_ms": round(float(np.median(itrim) * 1e3), 1),
+        "incremental_final_frame_ms": round(float(np.median(ifin) * 1e3), 1),
         "points_per_frame": pts,
         "compile_seconds": round(compile_s, 1),
+        "incremental_compile_seconds": round(inc_compile_s, 1),
         "note": "per-dispatch host round-trip ~31 ms is included in each",
     }
     print(json.dumps(out))

@@ -131,12 +131,21 @@ class LNNSeq(nn.Module):
         with jax.named_scope("distribute"):
             if pre is not None:
                 seqlat, dist = pre
-                t = state.t
-                nbrs = [seqlat.frame_nbr(l, t) for l in range(L + 1)]
-                links = list(seqlat.links)
-                counts = [seqlat.levels[l].counts[t] for l in range(L + 1)]
-                nr_points = (None if seqlat.nr_points is None
-                             else seqlat.nr_points[t])
+                if isinstance(seqlat, lo.FrameStructures):
+                    # streaming fast path: structures updated incrementally
+                    # by the engine between frames
+                    nbrs = list(seqlat.nbrs)
+                    links = list(seqlat.links)
+                    counts = list(seqlat.counts)
+                    nr_points = None
+                else:
+                    t = state.t
+                    nbrs = [seqlat.frame_nbr(l, t) for l in range(L + 1)]
+                    links = list(seqlat.links)
+                    counts = [seqlat.levels[l].counts[t]
+                              for l in range(L + 1)]
+                    nr_points = (None if seqlat.nr_points is None
+                                 else seqlat.nr_points[t])
             else:
                 subtract_mean = cfg.experiment not in (
                     "pointnet_no_local_mean",

@@ -112,6 +112,18 @@ class NeighborTable(NamedTuple):
     found: jax.Array  # (C, 2(d+1)+1) bool
 
 
+@flax.struct.dataclass
+class FrameStructures:
+    """Per-frame lattice structures built OUTSIDE the model (the streaming
+    fast path: incremental neighbor/link updates between frames).  Injected
+    through ``LNNSeq.__call__(pre=(structures, dist))`` like the
+    whole-sequence ``SeqLattice``."""
+
+    nbrs: tuple          # NeighborTable per level
+    links: tuple         # LevelLink per downsample
+    counts: tuple        # () int32 per level
+
+
 def build_neighbor_table(table: VertexTable) -> NeighborTable:
     """Batched binary-search of all +/- offset keys; one per level per frame.
 
@@ -133,6 +145,67 @@ def build_neighbor_table(table: VertexTable) -> NeighborTable:
     found = jnp.concatenate(
         [nbr >= 0, valid_self[:, None]], axis=1)
     found &= valid_self[:, None]
+    return NeighborTable(idx=idx, found=found)
+
+
+def update_neighbor_table(table: VertexTable, nbr: NeighborTable,
+                          old_count, max_new: int) -> NeighborTable:
+    """Incrementally extend a NeighborTable after an append-only union.
+
+    The streaming path rebuilds the full adjacency every frame
+    (build_neighbor_table: capacity x 8 lookups); but consecutive LiDAR
+    frames add only ~5-6k new vertices to a ~30k table, so frames t >= 1
+    only need (a) adjacency ROWS for the new vertices -- a static
+    ``max_new`` x 8 block of lookups -- and (b) the REVERSE taps of their
+    found neighbors: key_v + off[a] == key_j implies key_j + off[(a+4)%8]
+    == key_v (offsets come in +/- pairs, neighbor_offsets ordering), a
+    small scatter.  New-new pairs are written by both (a) sides; old-old
+    pairs are untouched.
+
+    Args:
+      table: the vertex table AFTER the union.
+      nbr: adjacency valid for the first ``old_count`` stable slots.
+      old_count: traced count before the union.
+      max_new: static bound on new vertices this frame.  If more were
+        added, rows beyond the bound get no adjacency update -- callers
+        must size max_new from data (see utils/autotune.py occupancy
+        deltas) or fall back to build_neighbor_table.
+
+    Returns the updated NeighborTable.
+    """
+    cap, d = table.keys.shape
+    n_off = 2 * (d + 1)
+    offs = jnp.asarray(pm.neighbor_offsets(d))
+
+    # (a) adjacency rows for the (static-size) new block
+    rows = old_count + jnp.arange(max_new, dtype=jnp.int32)
+    rows_c = jnp.minimum(rows, cap - 1)
+    in_new = rows < table.count
+    new_keys = table.keys[rows_c]                       # (max_new, d)
+    queries = (new_keys[:, None, :] + offs[None, :, :]).reshape(
+        max_new * n_off, d)
+    hit = lookup(table, queries).reshape(max_new, n_off)
+    hit = jnp.where(in_new[:, None], hit, -1)
+
+    valid_self = in_new & (new_keys[:, 0] != jnp.int32(2**31 - 1))
+    idx_rows = jnp.concatenate([jnp.maximum(hit, 0), rows_c[:, None]], axis=1)
+    found_rows = jnp.concatenate([hit >= 0, valid_self[:, None]], axis=1)
+    found_rows &= valid_self[:, None]
+
+    dst = jnp.where(in_new, rows_c, cap)
+    idx = nbr.idx.at[dst].set(idx_rows, mode="drop")
+    found = nbr.found.at[dst].set(found_rows, mode="drop")
+
+    # (b) reverse taps on the found neighbors
+    rev_tap = (jnp.arange(n_off, dtype=jnp.int32) + (d + 1)) % n_off
+    j = jnp.where(hit >= 0, hit, cap)                   # (max_new, n_off)
+    tap = jnp.broadcast_to(rev_tap[None, :], (max_new, n_off))
+    flat_dst = (j * (n_off + 1) + tap).reshape(-1)
+    v_src = jnp.broadcast_to(rows_c[:, None], (max_new, n_off)).reshape(-1)
+    idx = idx.reshape(-1).at[flat_dst].set(v_src, mode="drop").reshape(
+        cap, n_off + 1)
+    found = found.reshape(-1).at[flat_dst].set(True, mode="drop").reshape(
+        cap, n_off + 1)
     return NeighborTable(idx=idx, found=found)
 
 
@@ -225,6 +298,38 @@ def grow_coarse_table(fine_table: VertexTable, coarse_table: VertexTable):
     corner_idx = flat_idx.reshape(cap, dp1)
     corner_bary = jnp.where(valid[:, None] & (corner_idx > 0), cbary, 0.0)
     return new_coarse, LevelLink(corner_idx=corner_idx, corner_bary=corner_bary)
+
+
+def grow_coarse_table_incremental(fine_table: VertexTable,
+                                  coarse_table: VertexTable,
+                                  old_fine_count, link: LevelLink,
+                                  max_new: int):
+    """Incremental form of :func:`grow_coarse_table`: union only the coarse
+    corners of the (static ``max_new``-bounded) NEW fine vertices and patch
+    their rows into the carried LevelLink.  Old fine vertices' corners are
+    unchanged by append-only growth.  Pairs with
+    :func:`update_neighbor_table` for the streaming fast path."""
+    cap, d = fine_table.keys.shape
+    dp1 = d + 1
+    rows = old_fine_count + jnp.arange(max_new, dtype=jnp.int32)
+    rows_c = jnp.minimum(rows, cap - 1)
+    in_new = rows < fine_table.count
+    keys_f = fine_table.keys[rows_c]
+    valid = in_new & (keys_f[:, 0] != jnp.int32(2**31 - 1))
+    key_f = jnp.where(valid[:, None], keys_f, 0).astype(jnp.float32)
+    full = jnp.concatenate([key_f, -key_f.sum(-1, keepdims=True)], axis=-1)
+    ckeys, cbary = pm.find_enclosing_simplex(full * 0.5)
+
+    new_coarse, flat_idx = union_and_index(
+        coarse_table, ckeys.reshape(max_new * dp1, d), jnp.repeat(valid, dp1))
+    corner_idx = flat_idx.reshape(max_new, dp1)
+    corner_bary = jnp.where(valid[:, None] & (corner_idx > 0), cbary, 0.0)
+
+    dst = jnp.where(in_new, rows_c, cap)
+    link = LevelLink(
+        corner_idx=link.corner_idx.at[dst].set(corner_idx, mode="drop"),
+        corner_bary=link.corner_bary.at[dst].set(corner_bary, mode="drop"))
+    return new_coarse, link
 
 
 def splat_to_coarse(fine_values: jax.Array, link: LevelLink,

@@ -270,3 +270,114 @@ def make_streaming_inference(model: LNNSeq, cfg: ModelConfig,
         return logp, sv, state, aux
 
     return new_state_fn, step_fn, final_fn
+
+
+def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
+                                         rt: RuntimeConfig,
+                                         max_new: int = 16384):
+    """Streaming inference with incremental structure updates: the fast
+    serving path.
+
+    ``make_streaming_inference`` rebuilds every level's neighbor table and
+    coarse links from scratch each frame (capacity x 8 lookups per level);
+    consecutive scans share ~85% of their vertices, so frames t >= 1 here
+    only look up the <= ``max_new`` NEW vertices per level
+    (lattice_ops.update_neighbor_table / grow_coarse_table_incremental)
+    and patch the carried structures.
+
+    ``max_new`` is a static per-frame growth bound; if a frame adds more
+    vertices, the extras get no adjacency (detectable: compare consecutive
+    counts on the host and fall back to the full path).  Size it from
+    occupancy deltas (utils/autotune.py).
+
+    Returns (new_fn, step_fn, final_fn):
+      new_fn()                                  -> (SeqState, FrameStructures)
+      step_fn(params, pos, vals, mask, st, fs)  -> (st, fs)
+      final_fn(params, pos, vals, mask, st, fs) -> (logp, sv, st, fs, aux)
+    """
+    from ..ops import lattice_ops as lo
+    from ..ops import vertex_table as vt
+
+    L = cfg.nr_downsamples
+    caps = rt.capacities(L)
+    subtract_mean = cfg.experiment not in (
+        "pointnet_no_local_mean", "pointnet_no_elevate_no_local_mean")
+
+    def empty_structures():
+        nbrs = tuple(
+            lo.NeighborTable(idx=jnp.zeros((c, 9), jnp.int32),
+                             found=jnp.zeros((c, 9), bool))
+            for c in caps)
+        links = tuple(
+            lo.LevelLink(corner_idx=jnp.zeros((caps[i], 4), jnp.int32),
+                         corner_bary=jnp.zeros((caps[i], 4), jnp.float32))
+            for i in range(L))
+        counts = tuple(jnp.int32(1) for _ in caps)
+        return lo.FrameStructures(nbrs=nbrs, links=links, counts=counts)
+
+    def new_fn():
+        return init_state(cfg, rt), empty_structures()
+
+    from ..models.lnn_seq import SeqState
+
+    def advance(state, positions, mask, fs):
+        """Distribute this frame, then update structures: the FIRST frame
+        takes a full build (its growth far exceeds max_new); later frames
+        patch incrementally.  Both branches of the cond produce identical
+        shapes, so one jitted step serves every frame."""
+        old_counts = [t.count for t in state.tables]
+        t0, dist = lo.distribute(state.tables[0], positions, mask, rt.sigma,
+                                 subtract_local_mean=subtract_mean)
+
+        def full_branch(args):
+            t0, coarse, fs = args
+            tabs = [t0]
+            links, nbrs = [], [lo.build_neighbor_table(t0)]
+            for i in range(L):
+                c, link = lo.grow_coarse_table(tabs[i], coarse[i])
+                tabs.append(c)
+                links.append(link)
+                nbrs.append(lo.build_neighbor_table(c))
+            return tuple(tabs), lo.FrameStructures(
+                nbrs=tuple(nbrs), links=tuple(links),
+                counts=tuple(t.count for t in tabs))
+
+        def inc_branch(args):
+            t0, coarse, fs = args
+            tabs = [t0]
+            nbrs, links = list(fs.nbrs), list(fs.links)
+            nbrs[0] = lo.update_neighbor_table(t0, nbrs[0], old_counts[0],
+                                               max_new)
+            for i in range(L):
+                c, links[i] = lo.grow_coarse_table_incremental(
+                    tabs[i], coarse[i], old_counts[i], links[i], max_new)
+                tabs.append(c)
+                nbrs[i + 1] = lo.update_neighbor_table(
+                    c, nbrs[i + 1], old_counts[i + 1], max_new)
+            return tuple(tabs), lo.FrameStructures(
+                nbrs=tuple(nbrs), links=tuple(links),
+                counts=tuple(t.count for t in tabs))
+
+        args = (t0, tuple(state.tables[1:]), fs)
+        new_tables, fs = jax.lax.cond(state.t == 0, full_branch, inc_branch,
+                                      args)
+        state = SeqState(tables=new_tables, h=state.h,
+                        prev_counts=state.prev_counts, t=state.t)
+        return state, fs, dist
+
+    @jax.jit
+    def step_fn(params, positions, values, mask, state, fs):
+        state, fs, dist = advance(state, positions, mask, fs)
+        _, state, _ = model.apply(params, positions, values, mask, state,
+                                  final=False, pre=(fs, dist))
+        return state, fs
+
+    @jax.jit
+    def final_fn(params, positions, values, mask, state, fs):
+        state, fs, dist = advance(state, positions, mask, fs)
+        (logp, sv), state, aux = model.apply(params, positions, values, mask,
+                                             state, final=True,
+                                             pre=(fs, dist))
+        return logp, sv, state, fs, aux
+
+    return new_fn, step_fn, final_fn

@@ -267,3 +267,31 @@ def test_segment_max_with_bary_packed_matches_argmax_path(rng):
                                   np.asarray(mx_a, np.float32))
     np.testing.assert_allclose(np.asarray(bary_p), np.asarray(bary_a),
                                atol=1.0 / 65535 + 1e-7)
+
+
+def test_update_neighbor_table_matches_full_rebuild(rng):
+    """Incremental adjacency update after an append-only union must equal a
+    full rebuild exactly (idx AND found), including reverse taps into old
+    vertices and new-new pairs."""
+    t = vt.make_table(4096, 3)
+    cloud0 = _cloud(rng, 200, scale=2.0)
+    t, _ = lo.distribute(t, cloud0, jnp.ones(200, bool), SIGMA)
+    nbr0 = lo.build_neighbor_table(t)
+    c0 = t.count
+
+    # second frame: shifted + some fresh region -> new vertices appended
+    cloud1 = jnp.concatenate([cloud0 + 0.4, _cloud(rng, 80, scale=3.0) + 5.0])
+    t, _ = lo.distribute(t, cloud1, jnp.ones(280, bool), SIGMA)
+
+    full = lo.build_neighbor_table(t)
+    inc = lo.update_neighbor_table(t, nbr0, c0, max_new=2048)
+
+    np.testing.assert_array_equal(np.asarray(inc.found), np.asarray(full.found))
+    # idx only meaningful where found (absent taps hold 0 vs whatever)
+    f = np.asarray(full.found)
+    np.testing.assert_array_equal(np.asarray(inc.idx)[f],
+                                  np.asarray(full.idx)[f])
+    # center column always equals self for valid rows
+    cnt = int(t.count)
+    np.testing.assert_array_equal(np.asarray(inc.idx)[1:cnt, -1],
+                                  np.arange(1, cnt))

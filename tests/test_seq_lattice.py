@@ -136,3 +136,56 @@ def test_union_mean_matches_scatter_reference(rng):
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
     np.testing.assert_array_equal(np.asarray(ri0), np.asarray(ri1))
     np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+
+def test_incremental_streaming_matches_full_streaming(rng):
+    """The incremental serving path (carried neighbor tables + links,
+    lax.cond full-build on frame 0) must reproduce the plain streaming
+    path's logits exactly."""
+    from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
+    from temporal_latticenet_tpu.models import LNNSeq, init_state
+    from temporal_latticenet_tpu.train.engine import (
+        make_streaming_inference, make_streaming_inference_incremental)
+
+    cfg = ModelConfig(nr_classes=5, pointnet_layers=(8, 16),
+                      pointnet_start_nr_channels=16,
+                      nr_blocks_down_stage=(1, 1, 1), nr_blocks_bottleneck=1,
+                      nr_blocks_up_stage=(1, 1, 1),
+                      rnn_modules=("gru", "gru", "aflow", "gru"),
+                      frames_per_seq=3)
+    rt = RuntimeConfig(max_points=96, capacity_level0=1024,
+                       capacity_decay=0.5, min_capacity=256, sigma=0.6)
+    model = LNNSeq(cfg, rt)
+
+    frames = []
+    base = rng.normal(size=(80, 3)).astype(np.float32) * 2
+    for t in range(3):
+        pos = np.zeros((96, 3), np.float32)
+        pos[:80] = base + t * 0.3
+        val = np.zeros((96, 1), np.float32)
+        val[:80] = rng.random((80, 1))
+        msk = np.zeros(96, bool)
+        msk[:80] = True
+        frames.append((jnp.asarray(pos), jnp.asarray(val), jnp.asarray(msk)))
+
+    variables = jax.jit(lambda k: model.init(
+        k, frames[0][0], frames[0][1], frames[0][2], init_state(cfg, rt),
+        final=True))(jax.random.PRNGKey(0))
+    params = {"params": variables["params"]}
+
+    ns_a, step_a, final_a = make_streaming_inference(model, cfg, rt)
+    sa = ns_a()
+    for t in range(2):
+        sa = step_a(params, *frames[t], sa)
+    logp_a, _, _, _ = final_a(params, *frames[2], sa)
+
+    new_b, step_b, final_b = make_streaming_inference_incremental(
+        model, cfg, rt, max_new=512)
+    sb, fsb = new_b()
+    for t in range(2):
+        sb, fsb = step_b(params, *frames[t], sb, fsb)
+    logp_b, _, _, _, _ = final_b(params, *frames[2], sb, fsb)
+
+    m = np.asarray(frames[2][2])
+    np.testing.assert_allclose(np.asarray(logp_a)[m], np.asarray(logp_b)[m],
+                               atol=1e-5)
