@@ -84,12 +84,13 @@ def main():
     final_ms = float(np.median(final_ts) * 1e3)
 
     # ---- incremental serving path --------------------------------------
-    new_fn, istep, ifinal = make_streaming_inference_incremental(
-        model, cfg, rt, max_new=8192)
+    new_fn, istep_full, istep, ifinal = \
+        make_streaming_inference_incremental(model, cfg, rt, max_new=8192)
 
     def run_inc():
         s, fs = new_fn()
-        for t in range(3):
+        s, fs = istep_full(params, P[0], V[0], M[0], s, fs)
+        for t in range(1, 3):
             s, fs = istep(params, P[t], V[t], M[t], s, fs)
         logp, sv, s, fs, aux = ifinal(params, P[3], V[3], M[3], s, fs)
         return float(logp.sum())
@@ -103,12 +104,13 @@ def main():
     for _ in range(args.iters):
         s, fs = new_fn()
         float(s.h[0].sum())
-        for t in range(3):
+        s, fs = istep_full(params, P[0], V[0], M[0], s, fs)
+        float(s.h[0].sum())
+        for t in range(1, 3):
             t0 = time.perf_counter()
             s, fs = istep(params, P[t], V[t], M[t], s, fs)
             float(s.h[0].sum())
-            if t > 0:  # frame 0 takes the full-build branch
-                itrim.append(time.perf_counter() - t0)
+            itrim.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         logp, sv, s, fs, aux = ifinal(params, P[3], V[3], M[3], s, fs)
         float(logp.sum())

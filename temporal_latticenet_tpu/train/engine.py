@@ -290,10 +290,15 @@ def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
     counts on the host and fall back to the full path).  Size it from
     occupancy deltas (utils/autotune.py).
 
-    Returns (new_fn, step_fn, final_fn):
-      new_fn()                                  -> (SeqState, FrameStructures)
-      step_fn(params, pos, vals, mask, st, fs)  -> (st, fs)
-      final_fn(params, pos, vals, mask, st, fs) -> (logp, sv, st, fs, aux)
+    Returns (new_fn, step_full, step_inc, final_inc) -- the HOST chooses
+    the branch (step_full for frame 0, whose growth exceeds max_new;
+    step_inc afterwards).  Explicit host choice keeps each jitted step
+    free of the other branch's code (an earlier in-graph lax.cond variant
+    worked too once max_new was sized right -- 125 vs 156 ms/frame at
+    max_new=8192 -- but compiled both branches into every step).
+      new_fn()                                   -> (SeqState, FrameStructures)
+      step_*(params, pos, vals, mask, st, fs)    -> (st, fs)
+      final_inc(params, pos, vals, mask, st, fs) -> (logp, sv, st, fs, aux)
     """
     from ..ops import lattice_ops as lo
     from ..ops import vertex_table as vt
@@ -320,31 +325,24 @@ def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
 
     from ..models.lnn_seq import SeqState
 
-    def advance(state, positions, mask, fs):
-        """Distribute this frame, then update structures: the FIRST frame
-        takes a full build (its growth far exceeds max_new); later frames
-        patch incrementally.  Both branches of the cond produce identical
-        shapes, so one jitted step serves every frame."""
+    def advance(state, positions, mask, fs, incremental):
+        """Distribute this frame, then update structures.  ``incremental``
+        is a PYTHON bool (two jitted specialisations): the caller uses the
+        full build for frame 0 (its growth far exceeds max_new) and the
+        incremental patch for later frames."""
         old_counts = [t.count for t in state.tables]
         t0, dist = lo.distribute(state.tables[0], positions, mask, rt.sigma,
                                  subtract_local_mean=subtract_mean)
-
-        def full_branch(args):
-            t0, coarse, fs = args
-            tabs = [t0]
+        coarse = tuple(state.tables[1:])
+        tabs = [t0]
+        if not incremental:
             links, nbrs = [], [lo.build_neighbor_table(t0)]
             for i in range(L):
                 c, link = lo.grow_coarse_table(tabs[i], coarse[i])
                 tabs.append(c)
                 links.append(link)
                 nbrs.append(lo.build_neighbor_table(c))
-            return tuple(tabs), lo.FrameStructures(
-                nbrs=tuple(nbrs), links=tuple(links),
-                counts=tuple(t.count for t in tabs))
-
-        def inc_branch(args):
-            t0, coarse, fs = args
-            tabs = [t0]
+        else:
             nbrs, links = list(fs.nbrs), list(fs.links)
             nbrs[0] = lo.update_neighbor_table(t0, nbrs[0], old_counts[0],
                                                max_new)
@@ -354,30 +352,28 @@ def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
                 tabs.append(c)
                 nbrs[i + 1] = lo.update_neighbor_table(
                     c, nbrs[i + 1], old_counts[i + 1], max_new)
-            return tuple(tabs), lo.FrameStructures(
-                nbrs=tuple(nbrs), links=tuple(links),
-                counts=tuple(t.count for t in tabs))
-
-        args = (t0, tuple(state.tables[1:]), fs)
-        new_tables, fs = jax.lax.cond(state.t == 0, full_branch, inc_branch,
-                                      args)
-        state = SeqState(tables=new_tables, h=state.h,
+        fs = lo.FrameStructures(nbrs=tuple(nbrs), links=tuple(links),
+                                counts=tuple(t.count for t in tabs))
+        state = SeqState(tables=tuple(tabs), h=state.h,
                         prev_counts=state.prev_counts, t=state.t)
         return state, fs, dist
 
-    @jax.jit
-    def step_fn(params, positions, values, mask, state, fs):
-        state, fs, dist = advance(state, positions, mask, fs)
-        _, state, _ = model.apply(params, positions, values, mask, state,
-                                  final=False, pre=(fs, dist))
-        return state, fs
+    def make_step(incremental, final):
+        @jax.jit
+        def fn(params, positions, values, mask, state, fs):
+            state2, fs2, dist = advance(state, positions, mask, fs,
+                                        incremental)
+            if final:
+                (logp, sv), state2, aux = model.apply(
+                    params, positions, values, mask, state2, final=True,
+                    pre=(fs2, dist))
+                return logp, sv, state2, fs2, aux
+            _, state2, _ = model.apply(params, positions, values, mask,
+                                       state2, final=False, pre=(fs2, dist))
+            return state2, fs2
+        return fn
 
-    @jax.jit
-    def final_fn(params, positions, values, mask, state, fs):
-        state, fs, dist = advance(state, positions, mask, fs)
-        (logp, sv), state, aux = model.apply(params, positions, values, mask,
-                                             state, final=True,
-                                             pre=(fs, dist))
-        return logp, sv, state, fs, aux
-
-    return new_fn, step_fn, final_fn
+    step_full = make_step(False, False)
+    step_inc = make_step(True, False)
+    final_inc = make_step(True, True)
+    return new_fn, step_full, step_inc, final_inc

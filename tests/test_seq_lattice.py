@@ -179,11 +179,11 @@ def test_incremental_streaming_matches_full_streaming(rng):
         sa = step_a(params, *frames[t], sa)
     logp_a, _, _, _ = final_a(params, *frames[2], sa)
 
-    new_b, step_b, final_b = make_streaming_inference_incremental(
-        model, cfg, rt, max_new=512)
+    new_b, step_full, step_inc, final_b = \
+        make_streaming_inference_incremental(model, cfg, rt, max_new=512)
     sb, fsb = new_b()
-    for t in range(2):
-        sb, fsb = step_b(params, *frames[t], sb, fsb)
+    sb, fsb = step_full(params, *frames[0], sb, fsb)
+    sb, fsb = step_inc(params, *frames[1], sb, fsb)
     logp_b, _, _, _, _ = final_b(params, *frames[2], sb, fsb)
 
     m = np.asarray(frames[2][2])
