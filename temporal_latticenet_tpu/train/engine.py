@@ -274,7 +274,7 @@ def make_streaming_inference(model: LNNSeq, cfg: ModelConfig,
 
 def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
                                          rt: RuntimeConfig,
-                                         max_new: int = 16384):
+                                         max_new: int = 8192):
     """Streaming inference with incremental structure updates: the fast
     serving path.
 

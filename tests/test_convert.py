@@ -195,110 +195,6 @@ def test_full_state_dict_conversion_schema(rng):
     assert report["unconsumed"] == []
 
 
-def _flax_tree_to_torch_sd(params, cfg):
-    """Inverse of convert_state_dict for the reference module schema
-    (SURVEY.md 5.4): walk our flax tree and emit the torch-layout twin key
-    for every leaf.  Transposes exactly where the converter transposes."""
-    sd = {}
-
-    def T(x):
-        return np.asarray(x).T.copy()
-
-    def linear(tpre, sub):
-        sd[tpre + ".weight"] = T(sub["kernel"])
-        if "bias" in sub:
-            sd[tpre + ".bias"] = np.asarray(sub["bias"])
-
-    def fusion(tpre, sub, kind):
-        if kind in ("gru", "lstm"):
-            cell = "GRU" if kind == "gru" else "lstm"
-            linear(tpre + ".hidden_linear", sub["hidden_linear"])
-            sd[f"{tpre}.{cell}.weight_ih"] = T(sub[kind]["w_ih"])
-            sd[f"{tpre}.{cell}.weight_hh"] = T(sub[kind]["w_hh"])
-            sd[f"{tpre}.{cell}.bias_ih"] = np.asarray(sub[kind]["b_ih"])
-            sd[f"{tpre}.{cell}.bias_hh"] = np.asarray(sub[kind]["b_hh"])
-        elif kind == "aflow":
-            sd[tpre + ".AFLOW.alpha"] = np.asarray(sub["alpha"])
-            sd[tpre + ".AFLOW.beta"] = np.asarray(sub["beta"])
-            sd[tpre + ".AFLOW.weight"] = np.asarray(sub["weight"])
-            if "bias" in sub:
-                sd[tpre + ".AFLOW.bias"] = np.asarray(sub["bias"])
-            linear(tpre + ".linear", sub["linear"])
-        elif kind == "cga":
-            linear(tpre + ".hidden_linear", sub["hidden_linear"])
-            sd[tpre + ".conv.weight"] = T(sub["conv"]["kernel"])
-            sd[tpre + ".groupnorm.gn.weight"] = np.asarray(sub["groupnorm"]["scale"])
-            sd[tpre + ".groupnorm.gn.bias"] = np.asarray(sub["groupnorm"]["bias"])
-        elif kind == "linear":
-            linear(tpre + ".hidden_linear", sub["hidden_linear"])
-            linear(tpre + ".linear", sub["linear"])
-        elif kind != "maxpool":
-            raise ValueError(kind)
-
-    def gn(tpre, sub):
-        sd[tpre + ".gn.gn.weight"] = np.asarray(sub["gn"]["scale"])
-        sd[tpre + ".gn.gn.bias"] = np.asarray(sub["gn"]["bias"])
-
-    def gn_relu_conv(tpre, sub):
-        gn(tpre, sub)
-        sd[tpre + ".conv.weight"] = np.asarray(sub["conv"]["kernel"])
-        if "bias" in sub["conv"]:
-            sd[tpre + ".conv.bias"] = np.asarray(sub["conv"]["bias"])
-
-    def gn_relu_1x1(tpre, sub):
-        gn(tpre, sub)
-        linear(tpre + ".conv", sub["conv"])
-
-    def resnet(tpre, sub):
-        gn_relu_conv(tpre + ".conv1", sub["conv1"])
-        gn_relu_conv(tpre + ".conv2", sub["conv2"])
-
-    def bottleneck(tpre, sub):
-        gn_relu_1x1(tpre + ".contract", sub["contract"])
-        gn_relu_conv(tpre + ".conv", sub["conv"])
-        gn_relu_1x1(tpre + ".expand", sub["expand"])
-
-    for name, sub in params.items():
-        if name == "point_net_seq":
-            for i in range(len(cfg.pointnet_layers)):
-                sd[f"point_net_seq.layers.{i}.weight"] = T(sub[f"layers_{i}_kernel"])
-                sd[f"point_net_seq.layers.{i}.bias"] = np.asarray(sub[f"layers_{i}_bias"])
-            sd["point_net_seq.last_conv.weight"] = np.asarray(
-                sub["last_conv"]["kernel"])
-            if "fusion_module" in sub:
-                fusion("point_net_seq.fusion_module", sub["fusion_module"],
-                       cfg.rnn_modules[0])
-        elif name.startswith("recurrent_fusion_modules_"):
-            slot = int(name.rsplit("_", 1)[1])
-            fusion(f"recurrent_fusion_modules.{slot}", sub,
-                   cfg.rnn_modules[slot + 1])
-        elif name.startswith("resnet_blocks_per_down_lvl_list_"):
-            i, j = map(int, name.split("list_")[1].split("_"))
-            blk = resnet if i < cfg.nr_levels_down_with_normal_resnet else bottleneck
-            blk(f"resnet_blocks_per_down_lvl_list.{i}.{j}", sub)
-        elif name.startswith("resnet_blocks_bottleneck_"):
-            j = int(name.rsplit("_", 1)[1])
-            bottleneck(f"resnet_blocks_bottleneck.{j}", sub)
-        elif name.startswith("resnet_blocks_per_up_lvl_list_"):
-            i, j = map(int, name.split("list_")[1].split("_"))
-            blk = (resnet
-                   if i >= cfg.nr_downsamples - cfg.nr_levels_up_with_normal_resnet
-                   else bottleneck)
-            blk(f"resnet_blocks_per_up_lvl_list.{i}.{j}", sub)
-        elif name.startswith("coarsens_list_"):
-            gn_relu_conv(f"coarsens_list.{int(name.rsplit('_', 1)[1])}", sub)
-        elif name.startswith("finefy_list_"):
-            gn_relu_conv(f"finefy_list.{int(name.rsplit('_', 1)[1])}", sub)
-        elif name == "slice_fast_cuda":
-            sd["slice_fast_cuda.linear_deltaW.weight"] = T(sub["deform_kernel"])
-            sd["slice_fast_cuda.linear_deltaW.bias"] = np.asarray(sub["deform_bias"])
-            sd["slice_fast_cuda.linear_clasify.weight"] = T(sub["classify_kernel"])
-            sd["slice_fast_cuda.linear_clasify.bias"] = np.asarray(sub["classify_bias"])
-        else:
-            raise AssertionError(f"unmapped top-level module {name}")
-    return sd
-
-
 def test_full_model_round_trip_flagship():
     """VERDICT r1 item 3: a reference-shaped state_dict for the FLAGSHIP
     config must convert into a tree that loads into LNNSeq.init's params
@@ -317,7 +213,7 @@ def test_full_model_round_trip_flagship():
                                            init_state(cfg, rt), final=True))
     target = jax.tree_util.tree_map(np.asarray, init_fn(jax.random.PRNGKey(0))["params"])
 
-    sd = _flax_tree_to_torch_sd(target, cfg)
+    sd = tc.export_state_dict(target, cfg)
     converted, report = tc.convert_state_dict(sd, cfg)
     got = converted["params"]
     assert report["unconsumed"] == []
