@@ -3,10 +3,13 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "points/sec/chip", "vs_baseline": N}
 
-Metric definition (BASELINE.md north star): total points processed across
-the 4 frames of a sequence divided by wall time per sequence, on one chip,
-flagship gru-gru-aflow-gru model at SemanticKITTI scale (~120k pts/scan,
-sigma 0.6).
+Metric definition (BASELINE.md north star): total REAL points processed
+(masked returns, recorded as points_per_frame in bench_details) across the
+4 frames of a sequence divided by wall time per sequence, on one chip,
+flagship gru-gru-aflow-gru model at SemanticKITTI scale, sigma 0.6.  The
+padded row count (max_points) drives the actual work, so cross-run
+comparisons must hold points_per_frame fixed; r1's number counted 120k
+points in the same 131072-row padding.
 
 Geometry (r2, VERDICT item 6): scans come from the ray-cast LiDAR simulator
 (data/lidar_like.py) -- ring structure, range-dependent density, pose drift
@@ -91,7 +94,7 @@ def main():
                                     n_az=max(256, points // 64))
     else:
         p, v, l, m = synthetic_sequence(rng, frames=args.frames,
-                                        n_points=min(points, 120_000),
+                                        n_points=min(points, rt.max_points),
                                         max_points=rt.max_points)
     positions, values, mask = jnp.asarray(p), jnp.asarray(v), jnp.asarray(m)
     points_per_frame = int(m.sum(1).mean())
@@ -160,10 +163,12 @@ def main():
                    "saturated": any(saturated),
                    # the A100 constant is an ESTIMATE (the reference
                    # publishes no numbers; paper unfetchable here); the
-                   # range brackets 25-100 ms/frame at 120k pts
+                   # range brackets a 2x band around it either way
                    "vs_baseline_range": [
-                       round(pts_per_sec / 4.8e6, 3),
-                       round(pts_per_sec / 1.2e6, 3)],
+                       round(pts_per_sec
+                             / (2 * REFERENCE_A100_POINTS_PER_SEC_ESTIMATE), 3),
+                       round(pts_per_sec
+                             / (REFERENCE_A100_POINTS_PER_SEC_ESTIMATE / 2), 3)],
                    "backend": jax.default_backend(),
                    "device": str(jax.devices()[0])}, f, indent=2)
 

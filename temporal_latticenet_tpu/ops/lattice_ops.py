@@ -117,11 +117,19 @@ class FrameStructures:
     """Per-frame lattice structures built OUTSIDE the model (the streaming
     fast path: incremental neighbor/link updates between frames).  Injected
     through ``LNNSeq.__call__(pre=(structures, dist))`` like the
-    whole-sequence ``SeqLattice``."""
+    whole-sequence ``SeqLattice``.
+
+    ``overflowed`` is True once any frame's per-level growth exceeded the
+    incremental path's ``max_new`` bound: vertices beyond the bound carry
+    no adjacency/link rows, permanently (append-only), so results are
+    degraded -- callers MUST check it (sticky across frames) and fall back
+    to the full build / a larger bound."""
 
     nbrs: tuple          # NeighborTable per level
     links: tuple         # LevelLink per downsample
     counts: tuple        # () int32 per level
+    overflowed: jax.Array = flax.struct.field(
+        default_factory=lambda: jnp.asarray(False))
 
 
 def build_neighbor_table(table: VertexTable) -> NeighborTable:

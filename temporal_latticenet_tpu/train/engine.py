@@ -301,7 +301,6 @@ def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
       final_inc(params, pos, vals, mask, st, fs) -> (logp, sv, st, fs, aux)
     """
     from ..ops import lattice_ops as lo
-    from ..ops import vertex_table as vt
 
     L = cfg.nr_downsamples
     caps = rt.capacities(L)
@@ -342,6 +341,7 @@ def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
                 tabs.append(c)
                 links.append(link)
                 nbrs.append(lo.build_neighbor_table(c))
+            overflowed = fs.overflowed
         else:
             nbrs, links = list(fs.nbrs), list(fs.links)
             nbrs[0] = lo.update_neighbor_table(t0, nbrs[0], old_counts[0],
@@ -352,8 +352,15 @@ def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
                 tabs.append(c)
                 nbrs[i + 1] = lo.update_neighbor_table(
                     c, nbrs[i + 1], old_counts[i + 1], max_new)
+            # sticky overflow detection: growth beyond max_new left rows
+            # without adjacency/link entries -- results are degraded until
+            # the caller rebuilds with a larger bound
+            grew = jnp.stack([tabs[l].count - old_counts[l]
+                              for l in range(L + 1)])
+            overflowed = fs.overflowed | jnp.any(grew > max_new)
         fs = lo.FrameStructures(nbrs=tuple(nbrs), links=tuple(links),
-                                counts=tuple(t.count for t in tabs))
+                                counts=tuple(t.count for t in tabs),
+                                overflowed=overflowed)
         state = SeqState(tables=tuple(tabs), h=state.h,
                         prev_counts=state.prev_counts, t=state.t)
         return state, fs, dist

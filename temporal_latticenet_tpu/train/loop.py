@@ -156,6 +156,11 @@ def run_training(config_file: str, max_steps: int | None = None,
                                     phase.grad and loader_cfg.get("shuffle", False),
                                     rng)
             group = bs if phase.grad else 1
+            if phase.grad and len(order) < group:
+                raise ValueError(
+                    f"batch_size={group} exceeds the train split's "
+                    f"{len(order)} sequences: every epoch would run zero "
+                    f"optimiser steps. Lower train.batch_size.")
             n_steps_epoch = max(len(order) // group, 1)
             it = _prefetch(phase.loader[int(i)] for i in order)
 

@@ -72,11 +72,10 @@ def test_config2_accumulated_clouds(rng):
     cfg = _small(sequence_learning=False, frames_per_seq=1,
                  rnn_modules=("gru", "gru", "gru", "gru"))
     scans = [_cloud(rng, n=30, t=0.3 * i) for i in range(3)]
-    pos = jnp.concatenate([s[0][:30] for s in scans])[:96]
-    val = jnp.concatenate([s[1][:30] for s in scans])[:96]
-    msk = jnp.ones(90, bool)
-    pos = jnp.zeros((96, 3)).at[:90].set(pos[:90])
-    val = jnp.zeros((96, 1)).at[:90].set(val[:90])
+    pos = jnp.zeros((96, 3)).at[:90].set(
+        jnp.concatenate([s[0][:30] for s in scans]))
+    val = jnp.zeros((96, 1)).at[:90].set(
+        jnp.concatenate([s[1][:30] for s in scans]))
     msk = jnp.zeros(96, bool).at[:90].set(True)
     _forward(cfg, [(pos, val, msk)])
 

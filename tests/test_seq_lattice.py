@@ -139,9 +139,10 @@ def test_union_mean_matches_scatter_reference(rng):
 
 
 def test_incremental_streaming_matches_full_streaming(rng):
-    """The incremental serving path (carried neighbor tables + links,
-    lax.cond full-build on frame 0) must reproduce the plain streaming
-    path's logits exactly."""
+    """The incremental serving path (carried neighbor tables + links;
+    host-chosen full build on frame 0) must reproduce the plain streaming
+    path's logits exactly, and its overflow flag must fire when a frame's
+    growth exceeds max_new."""
     from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
     from temporal_latticenet_tpu.models import LNNSeq, init_state
     from temporal_latticenet_tpu.train.engine import (
@@ -189,3 +190,16 @@ def test_incremental_streaming_matches_full_streaming(rng):
     m = np.asarray(frames[2][2])
     np.testing.assert_allclose(np.asarray(logp_a)[m], np.asarray(logp_b)[m],
                                atol=1e-5)
+    assert not bool(fsb.overflowed)
+
+    # overflow flag: a tiny max_new bound must trip it (sticky) once a
+    # frame grows past the bound
+    new_c, sf_c, si_c, fin_c = make_streaming_inference_incremental(
+        model, cfg, rt, max_new=8)
+    sc, fsc = new_c()
+    sc, fsc = sf_c(params, *frames[0], sc, fsc)
+    assert not bool(fsc.overflowed)         # full build never overflows
+    sc, fsc = si_c(params, *frames[1], sc, fsc)
+    assert bool(fsc.overflowed)             # growth >> 8
+    sc, fsc = si_c(params, *frames[2], sc, fsc)
+    assert bool(fsc.overflowed)             # sticky
