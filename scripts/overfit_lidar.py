@@ -86,7 +86,7 @@ loader_semantic_kitti: {{
     dataset_path: "{data}"
     accumulate_clouds: false
     frames_per_seq: 4
-    cloud_scope: 1
+    cloud_scope: {scope}
     include_moving_classes: true
     sequences: "all"
     shuffle: true
@@ -142,6 +142,8 @@ def write_world(root, n_scans=8, n_beams=64, n_az=2048):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--scope", type=int, default=1,
+                    help="cloud_scope (the flagship eval config uses 3)")
     ap.add_argument("--capacity", type=int, default=49152)
     ap.add_argument("--root", type=str, default="/tmp/overfit_lidar")
     ap.add_argument("--cpu", action="store_true")
@@ -169,7 +171,8 @@ def main():
     with open(cfg_path, "w") as f:
         f.write(CFG_TEMPLATE.format(epochs=args.epochs, cap=args.capacity,
                                     ckpt=ckpt_dir, preds=preds, data=data,
-                                    max_points=max_points, min_cap=min_cap))
+                                    max_points=max_points, min_cap=min_cap,
+                                    scope=args.scope))
 
     from temporal_latticenet_tpu.config import cfgParser
     from temporal_latticenet_tpu.config import (model_config_from_cfg,

@@ -125,12 +125,14 @@ def _raycast_scan(world, sensor_xy, yaw, n_beams, n_az,
                    np.where(which == 0, classes[k1][None, :],
                             classes[k2][None, :])).astype(np.int32)
 
-    # assemble 3D points with ~2 cm range noise
+    # assemble 3D points with ~2 cm range noise; inf ranges (misses) are
+    # multiplied through harmlessly and dropped by the `has` mask below
     t_hit = t_hit + rng.standard_normal(t_hit.shape).astype(np.float32) * 0.02
-    x = t_hit * dx[None, :]
-    y = t_hit * dy[None, :]
-    z = SENSOR_HEIGHT + t_hit * tan_e - SENSOR_HEIGHT  # sensor at origin
-    pts = np.stack([x, y, z], axis=-1).astype(np.float32)
+    with np.errstate(invalid="ignore", over="ignore"):
+        x = t_hit * dx[None, :]
+        y = t_hit * dy[None, :]
+        z = SENSOR_HEIGHT + t_hit * tan_e - SENSOR_HEIGHT  # sensor at origin
+        pts = np.stack([x, y, z], axis=-1).astype(np.float32)
 
     keep = has.reshape(-1)
     return pts.reshape(-1, 3)[keep], lbl.reshape(-1)[keep]
