@@ -254,8 +254,9 @@ def make_streaming_inference(model: LNNSeq, cfg: ModelConfig,
       final_fn(params, pos, vals, mask, state) -> (logp, sv, state, aux)
     """
 
-    def new_state_fn():
-        return init_state(cfg, rt)
+    # jitted: an eager reset dispatches dozens of tiny array creations,
+    # pathological over a remote-TPU tunnel (~31 ms each)
+    new_state_fn = jax.jit(lambda: init_state(cfg, rt))
 
     @jax.jit
     def step_fn(params, positions, values, mask, state):
@@ -319,8 +320,8 @@ def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
         counts = tuple(jnp.int32(1) for _ in caps)
         return lo.FrameStructures(nbrs=nbrs, links=links, counts=counts)
 
-    def new_fn():
-        return init_state(cfg, rt), empty_structures()
+    # jitted: see make_streaming_inference's new_state_fn note
+    new_fn = jax.jit(lambda: (init_state(cfg, rt), empty_structures()))
 
     from ..models.lnn_seq import SeqState
 
