@@ -39,6 +39,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from temporal_latticenet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+
 from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
 from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
 from temporal_latticenet_tpu.data.synthetic import synthetic_sequence

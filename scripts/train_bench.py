@@ -12,6 +12,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from temporal_latticenet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
+
 
 def main():
     ap = argparse.ArgumentParser()

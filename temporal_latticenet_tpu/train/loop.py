@@ -75,6 +75,8 @@ def make_datasets(parser: cfgParser, cfg: ModelConfig, rt: RuntimeConfig,
 
 def run_training(config_file: str, max_steps: int | None = None,
                  datasets=None):
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = cfgParser(config_file)
     train_cfg = parser.get_train_vars()
     loader_cfg = parser.get_loader_vars()
@@ -248,6 +250,8 @@ def run_eval(config_file: str, split: str = "test", max_seqs: int | None = None,
     """Evaluation / prediction writing (test_ln.py parity): runs the chosen
     split and optionally writes per-point ``.label`` files in the
     semantic-kitti-api submission layout (test_ln.py:192-231)."""
+    from ..utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
     parser = cfgParser(config_file)
     eval_cfg = parser.get_eval_vars()
     loader_cfg = parser.get_loader_vars()

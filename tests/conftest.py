@@ -20,6 +20,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 
+# Persistent compile cache: the suite re-jits the same graphs every run;
+# cache entries are keyed by backend+HLO so CPU/TPU artifacts coexist.
+from temporal_latticenet_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 import numpy as np
 import pytest
 
