@@ -154,6 +154,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from temporal_latticenet_tpu.utils.compile_cache import enable_compile_cache
+    enable_compile_cache()
 
     if args.smoke:
         beams, n_az, max_points, min_cap = 16, 512, 8192, 2048

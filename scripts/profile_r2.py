@@ -26,6 +26,9 @@ sys.path.insert(0, ".")
 
 import numpy as np
 import jax
+
+from temporal_latticenet_tpu.utils.compile_cache import enable_compile_cache
+enable_compile_cache()
 import jax.numpy as jnp
 
 

@@ -32,6 +32,13 @@ CLASS_BUILDING = 13
 CLASS_TRUNK = 16
 CLASS_POLE = 18
 CLASS_CAR = 1
+CLASS_PERSON = 6
+
+# moving-class ids of the 26-class "all" setting
+# (/root/reference/seq_config/semantic-kitti-all.yaml learning map: a moving
+# object keeps its geometry class but shifts to the moving id)
+CLASS_MOVING_CAR = 20
+CLASS_MOVING_PERSON = 22
 
 SENSOR_HEIGHT = 1.73   # m, HDL-64E mount height on the KITTI car
 MAX_RANGE = 80.0
@@ -59,6 +66,50 @@ def _make_world(rng: np.random.Generator, radius: float = 90.0):
             np.concatenate(radii).astype(np.float32),
             np.concatenate(heights).astype(np.float32),
             np.concatenate(classes))
+
+
+def _make_actors(rng: np.random.Generator, n_cars: int, n_peds: int):
+    """Dynamic actors: cylinders that translate between frames.
+
+    A moving actor's per-frame GEOMETRY is indistinguishable from its static
+    counterpart (same radius/height distributions as _make_world's cars, and
+    person-sized cylinders); only its motion across frames separates class
+    1/6 from 20/22.  This is the controlled test of the paper's moving-class
+    claim (README.md:13; the 26-class setting of
+    /root/reference/seq_config/semantic-kitti-all.yaml): a single-frame model
+    cannot beat the class prior on moving-vs-static, a temporal model can.
+
+    Actors spawn near the ego corridor (within ~35 m) so they receive dense
+    returns, and move 0.6-2.2 m/frame (cars) / 0.15-0.5 m/frame (peds) --
+    several lattice cells at sigma 0.6.
+    """
+    specs = [
+        (n_cars, 0.8, 1.3, 1.2, 1.8, 0.6, 2.2, CLASS_MOVING_CAR),
+        (n_peds, 0.25, 0.4, 1.5, 1.9, 0.15, 0.5, CLASS_MOVING_PERSON),
+    ]
+    centers, radii, heights, classes, vels = [], [], [], [], []
+    for count, r_lo, r_hi, h_lo, h_hi, s_lo, s_hi, cls in specs:
+        c = (rng.random((count, 2)) - 0.5) * np.array([70.0, 50.0])
+        centers.append(c)
+        radii.append(rng.uniform(r_lo, r_hi, count))
+        heights.append(rng.uniform(h_lo, h_hi, count))
+        classes.append(np.full(count, cls, np.int32))
+        ang = rng.random(count) * 2 * np.pi
+        spd = rng.uniform(s_lo, s_hi, count)
+        vels.append(np.stack([np.cos(ang), np.sin(ang)], 1) * spd[:, None])
+    return (np.concatenate(centers).astype(np.float32),
+            np.concatenate(radii).astype(np.float32),
+            np.concatenate(heights).astype(np.float32),
+            np.concatenate(classes),
+            np.concatenate(vels).astype(np.float32))
+
+
+def _static_counterparts(rng: np.random.Generator, n_cars: int, n_peds: int):
+    """Parked cars / standing pedestrians with the same geometry and spawn
+    distributions as the movers, so motion is the ONLY separating signal."""
+    c, r, h, cls, _ = _make_actors(rng, n_cars, n_peds)
+    cls = np.where(cls == CLASS_MOVING_CAR, CLASS_CAR, CLASS_PERSON)
+    return c, r, h, cls.astype(np.int32)
 
 
 def _raycast_scan(world, sensor_xy, yaw, n_beams, n_az,
@@ -140,15 +191,30 @@ def _raycast_scan(world, sensor_xy, yaw, n_beams, n_az,
 
 def lidar_sequence(rng: np.random.Generator, frames: int, max_points: int,
                    n_beams: int = 64, n_az: int = 2048,
-                   speed: float = 1.0, world_seed: int | None = None):
+                   speed: float = 1.0, world_seed: int | None = None,
+                   moving_cars: int = 0, moving_peds: int = 0):
     """Simulate a ``frames``-long sequence; returns (positions, values,
     labels, mask) stacked (T, P, ...) in FRAME-0 sensor coordinates.
 
     ``n_beams * n_az`` rays/scan (default 131072); real return counts come
     out lower (sky rays, >80 m) -- typically ~105-120k, like SemanticKITTI.
+
+    ``moving_cars``/``moving_peds`` > 0 adds dynamic actors (ids 20/22 of
+    the 26-class setting) plus an equal number of geometrically identical
+    STATIC counterparts (ids 1/6), making motion the only separating signal
+    between the static and moving variants of a class.
     """
-    world = _make_world(rng if world_seed is None
-                        else np.random.default_rng(world_seed))
+    wrng = rng if world_seed is None else np.random.default_rng(world_seed)
+    world = _make_world(wrng)
+    actors = None
+    if moving_cars or moving_peds:
+        actors = _make_actors(wrng, moving_cars, moving_peds)
+        sc, sr, sh, scls = _static_counterparts(wrng, moving_cars,
+                                                moving_peds)
+        world = (np.concatenate([world[0], sc]),
+                 np.concatenate([world[1], sr]),
+                 np.concatenate([world[2], sh]),
+                 np.concatenate([world[3], scls]))
 
     out_p = np.zeros((frames, max_points, 3), np.float32)
     out_v = np.zeros((frames, max_points, 1), np.float32)
@@ -159,7 +225,15 @@ def lidar_sequence(rng: np.random.Generator, frames: int, max_points: int,
     for t in range(frames):
         sensor_xy = np.array([speed * t, 0.02 * t], np.float32)
         yaw = yaw0 + 0.01 * t
-        pts, lbl = _raycast_scan(world, sensor_xy, yaw, n_beams, n_az, rng)
+        frame_world = world
+        if actors is not None:
+            ac, ar, ah, acls, av = actors
+            frame_world = (np.concatenate([world[0], ac + av * t]),
+                           np.concatenate([world[1], ar]),
+                           np.concatenate([world[2], ah]),
+                           np.concatenate([world[3], acls]))
+        pts, lbl = _raycast_scan(frame_world, sensor_xy, yaw, n_beams, n_az,
+                                 rng)
         # to frame-0 coordinates (translation only; yaw is the scan's own
         # sweep phase, the platform does not rotate here)
         pts = pts + np.array([sensor_xy[0], sensor_xy[1], 0.0], np.float32)

@@ -97,13 +97,48 @@ def convert_fusion(sd: Mapping, prefix: str, kind: str) -> dict:
     raise ValueError(kind)
 
 
+def _resolve_inner(sd: Mapping, prefix: str, candidates, want_ndim=None,
+                   what: str = "module") -> str:
+    """Tolerantly resolve the inner sub-module path under ``prefix``.
+
+    The attribute names inside the external latticenet_py blocks (GnReluConv
+    etc.) are reconstructed from their published structure and cannot be
+    byte-verified without the real checkpoint blob (VERDICT r2 item 7), so
+    nesting variants like ``gn`` vs ``gn.gn`` must not silently fail.
+    Resolution order:
+
+    1. each candidate ``prefix.<cand>.weight`` whose tensor has the expected
+       rank (GN weights are 1-D, conv/linear weights 2-D -- within one block
+       this disambiguates fully);
+    2. fallback: the UNIQUE ``prefix.*.weight`` key of that rank;
+    3. otherwise raise with a report of every key under the prefix.
+    """
+    for c in candidates:
+        inner = f"{prefix}.{c}" if c else prefix
+        k = inner + ".weight"
+        if k in sd and (want_ndim is None
+                        or np.asarray(sd[k]).ndim == want_ndim):
+            return inner
+    hits = sorted({k[: -len(".weight")] for k in sd
+                   if k.startswith(prefix + ".") and k.endswith(".weight")
+                   and (want_ndim is None
+                        or np.asarray(sd[k]).ndim == want_ndim)})
+    if len(hits) == 1:
+        return hits[0]
+    under = sorted(k for k in sd if k.startswith(prefix))
+    raise KeyError(
+        f"cannot resolve {what} under '{prefix}': tried {list(candidates)}, "
+        f"rank-{want_ndim} matches: {hits or 'none'}; keys under prefix: "
+        f"{under or 'none'}")
+
+
 def convert_state_dict(sd: Mapping, cfg) -> tuple[dict, dict]:
     """Full reference LNN_SEQ state_dict -> flax param tree for LNNSeq.
 
     Returns (params, report) where report lists source keys not consumed.
-    NOTE: the sub-module attribute names inside the external latticenet_py
-    blocks (GnReluConv etc.) are reconstructed from their published
-    structure; adjust GN_INNER/CONV_INNER if a real checkpoint differs.
+    The sub-module attribute names inside the external latticenet_py blocks
+    (GnReluConv etc.) are resolved tolerantly (see :func:`_resolve_inner`),
+    so nesting variants of a real checkpoint (``gn`` vs ``gn.gn``) load.
     """
     consumed = set()
 
@@ -137,26 +172,52 @@ def convert_state_dict(sd: Mapping, cfg) -> tuple[dict, dict]:
             params[f"recurrent_fusion_modules_{slot}"] = take(
                 convert_fusion, f"recurrent_fusion_modules.{slot}", kind)
 
+    GN_INNER = ("gn.gn", "gn", "norm.gn", "norm", "bn")
+    CONV_INNER = ("conv", "conv.conv", "convolution", "linear")
+
     def gn_relu_conv(prefix):
-        return {"gn": convert_groupnorm(sd, prefix + ".gn.gn"),
-                "conv": convert_lattice_conv(sd, prefix + ".conv")}
+        gnp = _resolve_inner(sd, prefix, GN_INNER, want_ndim=1,
+                             what="groupnorm")
+        cvp = _resolve_inner(sd, prefix, CONV_INNER, want_ndim=2,
+                             what="lattice conv")
+        return {"gn": convert_groupnorm(sd, gnp),
+                "conv": convert_lattice_conv(sd, cvp)}
 
     def gn_relu_1x1(prefix):
-        d = {"gn": convert_groupnorm(sd, prefix + ".gn.gn")}
-        lin = convert_linear(sd, prefix + ".conv")
+        gnp = _resolve_inner(sd, prefix, GN_INNER, want_ndim=1,
+                             what="groupnorm")
+        cvp = _resolve_inner(sd, prefix, CONV_INNER, want_ndim=2,
+                             what="1x1 conv")
+        d = {"gn": convert_groupnorm(sd, gnp)}
+        lin = convert_linear(sd, cvp)
         d["conv"] = {"kernel": lin["kernel"]}
         if "bias" in lin:
             d["conv"]["bias"] = lin["bias"]
         return d
 
+    def _child(prefix, candidates, what):
+        """Resolve a composite child module (has weight keys BELOW it)."""
+        for c in candidates:
+            if any(k.startswith(f"{prefix}.{c}.") for k in sd):
+                return f"{prefix}.{c}"
+        under = sorted(k for k in sd if k.startswith(prefix))
+        raise KeyError(f"cannot resolve {what} under '{prefix}': tried "
+                       f"{list(candidates)}; keys under prefix: "
+                       f"{under or 'none'}")
+
     def resnet(prefix):
-        return {"conv1": gn_relu_conv(prefix + ".conv1"),
-                "conv2": gn_relu_conv(prefix + ".conv2")}
+        return {"conv1": gn_relu_conv(_child(prefix, ("conv1", "gn_relu_conv1",
+                                                      "block1"), "conv1")),
+                "conv2": gn_relu_conv(_child(prefix, ("conv2", "gn_relu_conv2",
+                                                      "block2"), "conv2"))}
 
     def bottleneck(prefix):
-        return {"contract": gn_relu_1x1(prefix + ".contract"),
-                "conv": gn_relu_conv(prefix + ".conv"),
-                "expand": gn_relu_1x1(prefix + ".expand")}
+        return {"contract": gn_relu_1x1(_child(
+                    prefix, ("contract", "reduce", "down"), "contract")),
+                "conv": gn_relu_conv(_child(prefix, ("conv", "middle"),
+                                            "conv")),
+                "expand": gn_relu_1x1(_child(prefix, ("expand", "up"),
+                                             "expand"))}
 
     for i in range(cfg.nr_downsamples):
         for j in range(cfg.nr_blocks_down_stage[i]):

@@ -20,14 +20,19 @@ DEFAULT_CACHE_DIR = os.environ.get(
 )
 
 
-def enable_compile_cache(cache_dir: str | None = None) -> str:
+def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     """Enable JAX's persistent compilation cache; returns the cache dir.
 
-    Safe to call multiple times.  Cache keys include the backend and HLO,
-    so CPU-test and TPU-bench entries coexist in one directory.
+    Safe to call multiple times.  No-op on the CPU backend: XLA:CPU AOT
+    results embed host "machine features" (incl. pseudo-features like
+    +prefer-no-scatter) whose reload check warns per entry and can SIGILL
+    on mismatch -- and CPU compiles are fast anyway.  The motivation is the
+    remote TPU compile service (minutes per bench-scale graph).
     """
     import jax
 
+    if jax.default_backend() == "cpu":
+        return None
     path = cache_dir or DEFAULT_CACHE_DIR
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)

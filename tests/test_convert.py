@@ -236,3 +236,79 @@ def test_full_model_round_trip_flagship():
         lambda p: model.apply(p, pos, val, msk, init_state(cfg, rt),
                               final=True))(as_jnp)
     assert np.isfinite(np.asarray(logp)).all()
+
+def _reference_shaped_state_dict(cfg):
+    """Reference-schema torch-layout state_dict for ``cfg`` via a tiny model
+    init + export (the exporter emits the canonical reference key names)."""
+    from temporal_latticenet_tpu.config import RuntimeConfig
+    from temporal_latticenet_tpu.models import LNNSeq, init_state
+
+    rt = RuntimeConfig(max_points=32, capacity_level0=256, capacity_decay=1.0,
+                       min_capacity=128, sigma=0.6)
+    model = LNNSeq(cfg, rt)
+    pos = jnp.zeros((32, 3)); val = jnp.zeros((32, 1))
+    msk = jnp.ones((32,), bool)
+    init_fn = jax.jit(lambda k: model.init(k, pos, val, msk,
+                                           init_state(cfg, rt), final=True))
+    params = jax.tree_util.tree_map(
+        np.asarray, init_fn(jax.random.PRNGKey(0))["params"])
+    return tc.export_state_dict(params, cfg), params
+
+
+def test_convert_tolerates_renamed_inner_keys():
+    """VERDICT r2 item 7: the inner attribute names of the external
+    latticenet_py blocks are unverifiable without the real blob, so the
+    converter must survive nesting variants -- ``gn`` instead of ``gn.gn``,
+    ``convolution`` instead of ``conv`` -- and still produce the identical
+    tree (rank-based disambiguation: GN weights are 1-D, convs 2-D)."""
+    from temporal_latticenet_tpu.config import ModelConfig
+
+    cfg = ModelConfig(nr_classes=8, rnn_modules=("gru", "gru", "aflow", "gru"),
+                      frames_per_seq=2, pointnet_layers=(4, 8),
+                      pointnet_start_nr_channels=8, nr_downsamples=2,
+                      nr_blocks_down_stage=(1, 1), nr_blocks_bottleneck=1,
+                      nr_blocks_up_stage=(1, 1))
+    sd, _ = _reference_shaped_state_dict(cfg)
+    base, report = tc.convert_state_dict(sd, cfg)
+    assert report["unconsumed"] == []
+
+    conv_prefixes = {k[: -len(".conv.weight")] for k, v in sd.items()
+                     if k.endswith(".conv.weight")
+                     and np.asarray(v).ndim == 2
+                     and "point_net_seq" not in k}
+    renamed = {}
+    for k, v in sd.items():
+        k2 = k.replace(".gn.gn.", ".gn.")
+        for p in conv_prefixes:
+            if k2.startswith(p + ".conv."):
+                k2 = p + ".convolution." + k2[len(p + ".conv."):]
+                break
+        renamed[k2] = v
+    got, report2 = tc.convert_state_dict(renamed, cfg)
+    assert report2["unconsumed"] == []
+
+    bf = {"/".join(str(p.key) for p in path): leaf for path, leaf in
+          jax.tree_util.tree_flatten_with_path(base)[0]}
+    gf = {"/".join(str(p.key) for p in path): leaf for path, leaf in
+          jax.tree_util.tree_flatten_with_path(got)[0]}
+    assert set(bf) == set(gf)
+    for k in bf:
+        np.testing.assert_array_equal(np.asarray(bf[k]), np.asarray(gf[k]),
+                                      err_msg=k)
+
+
+def test_convert_unresolvable_inner_reports_keys():
+    """A genuinely missing inner module must fail loudly, listing the keys
+    it found under the prefix (strict mismatch report, not a silent skip)."""
+    from temporal_latticenet_tpu.config import ModelConfig
+
+    cfg = ModelConfig(nr_classes=8, rnn_modules=("gru", "gru", "aflow", "gru"),
+                      frames_per_seq=2, pointnet_layers=(4, 8),
+                      pointnet_start_nr_channels=8, nr_downsamples=2,
+                      nr_blocks_down_stage=(1, 1), nr_blocks_bottleneck=1,
+                      nr_blocks_up_stage=(1, 1))
+    sd, _ = _reference_shaped_state_dict(cfg)
+    broken = {k: v for k, v in sd.items()
+              if not k.startswith("coarsens_list.0.gn")}
+    with pytest.raises(KeyError, match="coarsens_list.0"):
+        tc.convert_state_dict(broken, cfg)
