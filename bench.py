@@ -50,6 +50,22 @@ from temporal_latticenet_tpu.train.engine import make_sequence_forward
 
 REFERENCE_A100_POINTS_PER_SEC_ESTIMATE = 2.4e6
 
+
+def _baseline_bounds():
+    import functools
+
+    @functools.cache
+    def load():
+        import importlib.util
+        import os
+        spec = importlib.util.spec_from_file_location(
+            "roofline", os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "scripts", "roofline.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.bounds()
+    return load()
+
 FLAGSHIP = ModelConfig(
     nr_classes=26,
     rnn_modules=("gru", "gru", "aflow", "gru"),
@@ -165,13 +181,18 @@ def main():
                    "occupancy_final_union": occupancy,
                    "saturated": any(saturated),
                    # the A100 constant is an ESTIMATE (the reference
-                   # publishes no numbers; paper unfetchable here); the
-                   # range brackets a 2x band around it either way
+                   # publishes no numbers; paper unfetchable here).
+                   # Derived bounds (scripts/roofline.py, docs/DESIGN.md):
+                   # per-stage bytes/FLOPs of the reference's own algorithm
+                   # x explicit A100 efficiency assumptions.
+                   "baseline_bounds": _baseline_bounds(),
                    "vs_baseline_range": [
                        round(pts_per_sec
-                             / (2 * REFERENCE_A100_POINTS_PER_SEC_ESTIMATE), 3),
+                             / _baseline_bounds()[
+                                 "a100_tuned_kernels_pts_per_s"], 3),
                        round(pts_per_sec
-                             / (REFERENCE_A100_POINTS_PER_SEC_ESTIMATE / 2), 3)],
+                             / _baseline_bounds()["a100_floor_pts_per_s"],
+                             3)],
                    "backend": jax.default_backend(),
                    "device": str(jax.devices()[0])}, f, indent=2)
 

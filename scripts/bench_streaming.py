@@ -28,6 +28,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--capacity", type=int, default=49152)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--streams", type=int, default=1,
+                    help="concurrent serving streams (DP over the mesh when "
+                    ">1 device is visible, else batched on one chip)")
     args = ap.parse_args()
 
     from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
@@ -119,8 +122,61 @@ def main():
         float(logp.sum())
         ifin.append(time.perf_counter() - t0)
 
+    # ---- multi-stream serving DP (--streams N) -------------------------
+    streams = {}
+    if args.streams > 1:
+        from temporal_latticenet_tpu.parallel.mesh import make_mesh, replicate
+        from temporal_latticenet_tpu.train.engine import (
+            make_streaming_inference_batched)
+        n_dev = len(jax.devices())
+        mesh = make_mesh() if (n_dev > 1 and args.streams % n_dev == 0) \
+            else None
+        new_b, step_b, final_b = make_streaming_inference_batched(
+            model, cfg, rt, mesh=mesh)
+        if mesh is not None:
+            params_b = replicate(mesh, params)
+        else:
+            params_b = params
+        B = args.streams
+        PB = jnp.broadcast_to(P[:, None], (4, B) + P.shape[1:])
+        VB = jnp.broadcast_to(V[:, None], (4, B) + V.shape[1:])
+        MB = jnp.broadcast_to(M[:, None], (4, B) + M.shape[1:])
+
+        def run_b():
+            st = new_b(B)
+            for t in range(3):
+                st = step_b(params_b, PB[t], VB[t], MB[t], st)
+            logp, sv, st, aux = final_b(params_b, PB[3], VB[3], MB[3], st)
+            return float(logp.sum())
+
+        t0 = time.perf_counter()
+        run_b()
+        b_compile = time.perf_counter() - t0
+        run_b()
+        bt, bf = [], []
+        for _ in range(args.iters):
+            st = new_b(B)
+            float(st.h[0].sum())
+            for t in range(3):
+                t0 = time.perf_counter()
+                st = step_b(params_b, PB[t], VB[t], MB[t], st)
+                float(st.h[0].sum())
+                bt.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            logp, _, st, _ = final_b(params_b, PB[3], VB[3], MB[3], st)
+            float(logp.sum())
+            bf.append(time.perf_counter() - t0)
+        streams = {
+            "streams": B,
+            "mesh_devices": 1 if mesh is None else n_dev,
+            "streams_trimmed_frame_ms": round(float(np.median(bt) * 1e3), 1),
+            "streams_final_frame_ms": round(float(np.median(bf) * 1e3), 1),
+            "streams_compile_seconds": round(b_compile, 1),
+        }
+
     out = {
         "metric": "streaming_per_frame_latency",
+        **streams,
         "trimmed_frame_ms": round(trim_ms, 1),
         "final_frame_ms": round(final_ms, 1),
         "incremental_trimmed_frame_ms": round(float(np.median(itrim) * 1e3), 1),

@@ -124,24 +124,32 @@ def main():
         tot = sl._seg_copy_tail_rows(tail_vf, sl._seg_sum_rows(head_vf, data))
         return tot
 
-    @jax.jit
-    def full(positions, mask):
-        cand, pos_rows, _ = prefix_pack(positions, mask)
-        out = sl._union_with_birth_and_mean(cand, pos_rows, cap, T)
-        return out[2]
+    def full_with_modes(ht, mm):
+        def run(positions, mask):
+            sl.HEAD_TABLE_MODE, sl.MEAN_MODE = ht, mm
+            try:
+                cand, pos_rows, _ = prefix_pack(positions, mask)
+                out = sl._union_with_birth_and_mean(cand, pos_rows, cap, T)
+                return out[2] + out[5].sum()
+            finally:
+                sl.HEAD_TABLE_MODE, sl.MEAN_MODE = "sort", "table"
+        return jax.jit(run)
 
     results = {}
-    for name, fn in [("simplex", simplex), ("sort1", sort1),
-                     ("birth", birth_fn), ("sort2", sort2),
-                     ("scans", scans), ("full", full)]:
+    jobs = [("simplex", simplex), ("sort1", sort1),
+            ("birth", birth_fn), ("sort2", sort2), ("scans", scans)]
+    for ht in ("scatter", "sort"):
+        for mm in ("scan", "table"):
+            jobs.append((f"full[{ht[:4]},{mm[:4]}]", full_with_modes(ht, mm)))
+    for name, fn in jobs:
         t, c = timeit(fn, positions, mask)
         results[name] = t
-        print(f"{name:8s}: {t*1e3:8.1f} ms  (compile {c:.0f}s)", flush=True)
+        print(f"{name:18s}: {t*1e3:8.1f} ms  (compile {c:.0f}s)", flush=True)
 
     print("\nDeltas:")
     prev = 0.0
-    for name in ["simplex", "sort1", "birth", "sort2", "scans", "full"]:
-        print(f"  {name:8s}: +{(results[name]-prev)*1e3:7.1f} ms")
+    for name, _ in jobs:
+        print(f"  {name:18s}: +{(results[name]-prev)*1e3:7.1f} ms")
         prev = results[name]
 
 

@@ -237,7 +237,10 @@ class AFlowFusion(nn.Module):
                 if self.use_bias else None)
 
         h_pad = _pad_hidden(h, prev_count, -999999.0)
-        h_nbr = h_pad[nbr.idx]                       # (cap, 9, C)
+        # center-last: tap 9 is the row itself (no gather, cf. lattice_ops.
+        # gather_rowified)
+        h_nbr = jnp.concatenate(
+            [h_pad[nbr.idx[:, : k - 1]], h_pad[:, None, :]], axis=1)  # (cap, 9, C)
         found = nbr.found.astype(jnp.float32)        # (cap, 9)
 
         dist = jnp.sqrt(jnp.maximum(

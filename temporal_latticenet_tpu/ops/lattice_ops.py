@@ -231,6 +231,43 @@ def mask_rows(values: jax.Array, count) -> jax.Array:
     return jnp.where(keep[:, None], values, 0.0)
 
 
+# adjoint tap pairing: neighbor_offsets lists [+o_0..+o_d, -o_0..-o_d], so
+# "i sees j at tap k" <=> "j sees i at tap (k + d+1) % 2(d+1)"
+_PAIR_3D = tuple((k + 4) % 8 for k in range(8))
+
+
+@jax.custom_vjp
+def _gather8_sym(values: jax.Array, idx8: jax.Array) -> jax.Array:
+    """Neighborhood gather (C, 8, Cin) whose VJP is ANOTHER gather.
+
+    The default VJP of a gather is a scatter-add (~30 ns/row on TPU, the
+    measured floor -- CLAUDE.md); but the one-hop offsets come in +/- pairs,
+    so the transpose relation "who references row j at tap k" is exactly
+    ``idx8[j, pair(k)]``: the cotangent is a gather through the SAME table
+    with permuted taps (~2.6 ns/row).  Requires idx8 in neighbor_offsets
+    order (true for build_neighbor_table and seq_lattice._build_level) and
+    zero-cotangent rows 0 / >= count upstream (the mask_rows invariant's
+    VJP guarantees both).
+    """
+    return values[idx8]
+
+
+def _gather8_sym_fwd(values, idx8):
+    return values[idx8], idx8
+
+
+def _gather8_sym_bwd(idx8, dg):
+    acc = jnp.zeros((idx8.shape[0], dg.shape[-1]), jnp.float32)
+    for k in range(8):
+        m = idx8[:, _PAIR_3D[k]]
+        acc = acc + jnp.where((m > 0)[:, None],
+                              dg[m, k, :].astype(jnp.float32), 0.0)
+    return acc.astype(dg.dtype), None
+
+
+_gather8_sym.defvjp(_gather8_sym_fwd, _gather8_sym_bwd)
+
+
 def gather_rowified(values: jax.Array, nbr: NeighborTable,
                     apply_mask: bool = False) -> jax.Array:
     """Im2row: (C, K*Cin) matrix of each vertex's neighborhood features.
@@ -242,7 +279,16 @@ def gather_rowified(values: jax.Array, nbr: NeighborTable,
     only for value arrays that do not satisfy the invariant.
     """
     cap = values.shape[0]
-    g = values[nbr.idx]                                  # (C, K, Cin)
+    k = nbr.idx.shape[1]
+    # center-last layout: idx[:, -1] is the row itself, so its "gather" is
+    # the identity -- concatenate the array instead of indexing it.  Row
+    # gathers cost ~2.6 ns/row regardless of width (CLAUDE.md), so skipping
+    # the center tap removes 1/9 of the indexed rows of every conv.
+    if k == 9:
+        g = _gather8_sym(values, nbr.idx[:, :8])         # gather-adjoint VJP
+    else:
+        g = values[nbr.idx[:, : k - 1]]
+    g = jnp.concatenate([g, values[:, None, :]], axis=1)
     if apply_mask:
         g = g * nbr.found[..., None]
     return g.reshape(cap, -1)

@@ -100,6 +100,48 @@ def _seg_copy_tail_rows(tail: jax.Array, val: jax.Array) -> jax.Array:
     return out[::-1]
 
 
+# Head-table construction strategy: "sort" compacts run heads with one more
+# 3-operand sort + static slice; "scatter" writes them with a (Q -> C, 2ch)
+# set-scatter.  Chosen by TPU A/B (scripts/profile_union.py); scatters are
+# serial per source row (~15-30 ns) while 2M-row sorts are ~2-3 ms.
+HEAD_TABLE_MODE = "sort"
+# Per-(vertex, frame) mean strategy: "table" = ONE forward segmented scan +
+# widened tail scatter + per-row gather; "scan" = the r2 two-scan version
+# (forward seg-sum + backward tail-copy).  A/B'd the same way.
+MEAN_MODE = "table"
+
+
+def _head_table(head2, fits, urank2, k2, b2, capacity: int, n_frames: int):
+    """Capacity-sized (packed, birth) tables from the run heads of the
+    (birth, key)-sorted candidates.  Slot 0 is the reserved invalid bucket.
+    """
+    if HEAD_TABLE_MODE == "scatter":
+        dst = jnp.where(head2 & fits, urank2 + 1, capacity)
+        kb = jnp.stack([k2, b2.astype(jnp.uint32)], axis=1)
+        table = jnp.full((capacity, 2), 0, jnp.uint32).at[:, 0].set(
+            PACKED_SENTINEL).at[:, 1].set(jnp.uint32(n_frames))
+        table = table.at[dst].set(kb, mode="drop")
+        return table[:, 0], table[:, 1].astype(jnp.int32)
+
+    # sort mode: stable-sort heads to the front in rank order, slice the
+    # first capacity-1, mask ranks past the true head count.  Replaces the
+    # serial per-row scatter with one more (cheap) multi-operand sort.
+    hkey = jnp.where(head2 & fits, urank2.astype(jnp.uint32),
+                     jnp.uint32(0xFFFFFFFF))
+    _, kk, bb = jax.lax.sort((hkey, k2, b2.astype(jnp.uint32)),
+                             dimension=0, num_keys=1)
+    n_heads = jnp.minimum(urank2[-1] + 1, capacity - 1)
+    rank = jnp.arange(capacity - 1, dtype=jnp.int32)
+    live = rank < n_heads
+    packed_final = jnp.concatenate(
+        [jnp.full((1,), PACKED_SENTINEL, jnp.uint32),
+         jnp.where(live, kk[: capacity - 1], PACKED_SENTINEL)])
+    birth_final = jnp.concatenate(
+        [jnp.full((1,), n_frames, jnp.int32),
+         jnp.where(live, bb[: capacity - 1].astype(jnp.int32), n_frames)])
+    return packed_final, birth_final
+
+
 def _union_with_birth(cand_packed: jax.Array, cand_order: jax.Array,
                       capacity: int, n_frames: int):
     """Assign birth-ordered stable indices to unique candidate keys.
@@ -184,16 +226,28 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     tail_vf = jnp.concatenate([head_vf[1:], jnp.ones((1,), bool)])
     w2 = fits.astype(jnp.float32)
     data = jnp.stack([px2 * w2, py2 * w2, pz2 * w2, w2], axis=1)
-    tot = _seg_copy_tail_rows(tail_vf, _seg_sum_rows(head_vf, data))
+    run_tot = _seg_sum_rows(head_vf, data)   # inclusive: tails carry totals
+    bucket = jnp.where(fits, frame2 * capacity + fin,
+                       n_frames * capacity)
+
+    if MEAN_MODE == "table":
+        # r3: ONE scan.  Tail rows (which hold the full sub-run totals)
+        # scatter into a (T*cap+1, 4) table; every row then GATHERS its
+        # total back (~2.6 ns/row vs ~4x-a-sort for the backward scan).
+        # The table's w channel IS nr_points -- the old separate 1-ch
+        # scatter is subsumed.
+        dst_np = jnp.where(tail_vf, bucket, n_frames * capacity)
+        buf = jnp.zeros((n_frames * capacity + 1, 4), jnp.float32
+                        ).at[dst_np].set(run_tot)
+        tot = buf[bucket]
+        nr_points = buf[: n_frames * capacity, 3].reshape(n_frames, capacity)
+    else:
+        tot = _seg_copy_tail_rows(tail_vf, run_tot)
+        dst_np = jnp.where(tail_vf & fits, bucket, n_frames * capacity)
+        nr_points = jnp.zeros((n_frames * capacity,), jnp.float32).at[
+            dst_np].set(tot[:, 3], mode="drop").reshape(n_frames, capacity)
     mean2 = tot[:, :3] / jnp.maximum(tot[:, 3:], 1.0)
     rel2 = (jnp.stack([px2, py2, pz2], axis=1) - mean2) * w2[:, None]
-
-    # per-(frame, vertex) valid-row counts, for the pointnet's >=4 gate
-    # (replaces its per-frame segment_sum; lattice_modules.py:527-530)
-    dst_np = jnp.where(tail_vf & fits, frame2 * capacity + fin,
-                       n_frames * capacity)
-    nr_points = jnp.zeros((n_frames * capacity,), jnp.float32).at[
-        dst_np].set(tot[:, 3], mode="drop").reshape(n_frames, capacity)
     nr_points = nr_points.at[:, 0].set(0.0)
 
     # back to original row order on the unsort the union needs anyway
@@ -202,14 +256,8 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
         dimension=0, num_keys=1)
     rel = jnp.stack([rx, ry, rz], axis=1)
 
-    # capacity-sized key/birth tables: one fused scatter of the run heads
-    dst = jnp.where(head2 & fits, urank2 + 1, capacity)
-    kb = jnp.stack([k2, b2], axis=1)
-    table = jnp.full((capacity, 2), 0, jnp.uint32).at[:, 0].set(
-        PACKED_SENTINEL).at[:, 1].set(jnp.uint32(n_frames))
-    table = table.at[dst].set(kb, mode="drop")
-    packed_final = table[:, 0]
-    birth_final = table[:, 1].astype(jnp.int32)
+    packed_final, birth_final = _head_table(head2, fits, urank2, k2, b2,
+                                            capacity, n_frames)
 
     counts = 1 + jnp.sum(
         (birth_final[None, :] <= jnp.arange(n_frames)[:, None])
@@ -243,14 +291,8 @@ def _finish_union(sp, so, birth_rows, capacity: int, n_frames: int):
     # inverse-permutation scatter (2.6 ms vs ~10 ms at 2M rows).
     _, row_idx = jax.lax.sort((so2, fin), dimension=0, num_keys=1)
 
-    # Capacity-sized tables: one fused 2-channel scatter of the run heads.
-    dst = jnp.where(head2 & fits, urank2 + 1, capacity)
-    kb = jnp.stack([k2, b2.astype(jnp.uint32)], axis=1)
-    table = jnp.full((capacity, 2), 0, jnp.uint32).at[:, 0].set(
-        PACKED_SENTINEL).at[:, 1].set(jnp.uint32(n_frames))
-    table = table.at[dst].set(kb, mode="drop")
-    packed_final = table[:, 0]
-    birth_final = table[:, 1].astype(jnp.int32)
+    packed_final, birth_final = _head_table(head2, fits, urank2, k2, b2,
+                                            capacity, n_frames)
 
     counts = 1 + jnp.sum(
         (birth_final[None, :] <= jnp.arange(n_frames)[:, None])

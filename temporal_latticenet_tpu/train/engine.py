@@ -385,3 +385,97 @@ def make_streaming_inference_incremental(model: LNNSeq, cfg: ModelConfig,
     step_inc = make_step(True, False)
     final_inc = make_step(True, True)
     return new_fn, step_full, step_inc, final_inc
+
+
+def make_streaming_inference_batched(model: LNNSeq, cfg: ModelConfig,
+                                     rt: RuntimeConfig, mesh=None,
+                                     incremental: bool = False,
+                                     max_new: int = 8192):
+    """Serving-scale inference DP (SURVEY 2.7): B concurrent streams, each
+    with its own ``SeqState`` (and, with ``incremental=True``, its own
+    ``FrameStructures``), vmapped over a leading stream axis.  With a
+    ``mesh`` the stream axis shards over its ``dp`` devices: params stay
+    replicated, every per-frame step runs embarrassingly parallel (no
+    collectives -- streams are independent), so per-stream latency is the
+    single-stream latency while throughput scales with the chip count.
+
+    The reference serves strictly one scan stream per process
+    (test_ln.py:163-239); this is the TPU-native scale-out story for
+    deployment.
+
+    Returns (new_states_fn, step_fn, final_fn):
+      new_states_fn(B)   -> stacked per-stream carry (leading axis B)
+      step_fn(params, pos(B,P,3), vals(B,P,C), mask(B,P), carry) -> carry
+      final_fn(...)      -> (logp (B,P,K), sv, carry, aux)
+    Per-stream outputs are bit-identical to the single-stream path
+    (tested in tests/test_train.py).
+    """
+    if incremental:
+        new1, step_full1, step_inc1, final1 = \
+            make_streaming_inference_incremental(model, cfg, rt, max_new)
+        step1 = step_inc1
+    else:
+        new1, step1, final1 = make_streaming_inference(model, cfg, rt)
+
+    def _shard(tree, spec_leading=True):
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sh = NamedSharding(mesh, P("dp") if spec_leading else P())
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+    def new_states_fn(b: int):
+        one = new1()
+        stacked = jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (b,) + x.shape), t))(one)
+        return _shard(stacked)
+
+    # vmap over the stream axis; params broadcast.  jit AFTER vmap so XLA
+    # sees the sharded leading axis and partitions every op along it.
+    if incremental:
+        @jax.jit
+        def step_fn(params, positions, values, mask, carry):
+            st, fs = carry
+
+            def body(p_, v_, m_, s_, f_):
+                return step_inc1.__wrapped__(params, p_, v_, m_, s_, f_)
+            st, fs = jax.vmap(body)(positions, values, mask, st, fs)
+            return st, fs
+
+        @jax.jit
+        def step_full_fn(params, positions, values, mask, carry):
+            st, fs = carry
+
+            def body(p_, v_, m_, s_, f_):
+                return step_full1.__wrapped__(params, p_, v_, m_, s_, f_)
+            st, fs = jax.vmap(body)(positions, values, mask, st, fs)
+            return st, fs
+
+        @jax.jit
+        def final_fn(params, positions, values, mask, carry):
+            st, fs = carry
+
+            def body(p_, v_, m_, s_, f_):
+                return final1.__wrapped__(params, p_, v_, m_, s_, f_)
+            logp, sv, st, fs, aux = jax.vmap(body)(positions, values, mask,
+                                                   st, fs)
+            return logp, sv, (st, fs), aux
+
+        return new_states_fn, step_full_fn, step_fn, final_fn
+
+    @jax.jit
+    def step_fn(params, positions, values, mask, states):
+        def body(p_, v_, m_, s_):
+            return step1.__wrapped__(params, p_, v_, m_, s_)
+        return jax.vmap(body)(positions, values, mask, states)
+
+    @jax.jit
+    def final_fn(params, positions, values, mask, states):
+        def body(p_, v_, m_, s_):
+            return final1.__wrapped__(params, p_, v_, m_, s_)
+        logp, sv, states, aux = jax.vmap(body)(positions, values, mask,
+                                               states)
+        return logp, sv, states, aux
+
+    return new_states_fn, step_fn, final_fn

@@ -295,3 +295,37 @@ def test_update_neighbor_table_matches_full_rebuild(rng):
     cnt = int(t.count)
     np.testing.assert_array_equal(np.asarray(inc.idx)[1:cnt, -1],
                                   np.arange(1, cnt))
+
+
+def test_gather8_sym_vjp_matches_plain_gather(rng):
+    """The symmetric-adjoint conv gather (custom VJP = transposed gather
+    instead of scatter-add) must produce identical values AND gradients to
+    the plain take on a real neighbor table."""
+    from temporal_latticenet_tpu.ops import vertex_table as vt
+
+    table = vt.make_table(512, 3)
+    pts = jnp.asarray(rng.normal(size=(300, 3)).astype(np.float32) * 3)
+    msk = jnp.ones((300,), bool)
+    table, _ = lo.distribute(table, pts, msk, 0.6)
+    nbr = lo.build_neighbor_table(table)
+    count = table.count
+
+    x = jnp.asarray(rng.normal(size=(512, 16)).astype(np.float32))
+    x = lo.mask_rows(x, count)
+    w = jnp.asarray(rng.normal(size=(9 * 16, 8)).astype(np.float32))
+
+    def f_plain(x_):
+        g = x_[nbr.idx].reshape(512, -1)
+        return (lo.mask_rows(g @ w, count) ** 2).sum()
+
+    def f_sym(x_):
+        g = lo.gather_rowified(x_, nbr)
+        return (lo.mask_rows(g @ w, count) ** 2).sum()
+
+    v1, g1 = jax.value_and_grad(f_plain)(x)
+    v2, g2 = jax.value_and_grad(f_sym)(x)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    # row 0 is the invalid bucket: its cotangent is junk by design in the
+    # symmetric adjoint and masked upstream in the real model
+    np.testing.assert_allclose(np.asarray(g1)[1:], np.asarray(g2)[1:],
+                               rtol=1e-5, atol=1e-5)

@@ -203,3 +203,33 @@ def test_incremental_streaming_matches_full_streaming(rng):
     assert bool(fsc.overflowed)             # growth >> 8
     sc, fsc = si_c(params, *frames[2], sc, fsc)
     assert bool(fsc.overflowed)             # sticky
+
+
+def test_union_mode_variants_identical(rng):
+    """The A/B-able union internals (head-table scatter vs sort; mean via
+    two scans vs scan+table) must be bit-identical."""
+    from temporal_latticenet_tpu.ops import seq_lattice as sl
+
+    q, cap, T = 4096, 512, 4
+    pts = rng.normal(size=(q // 4, 3)).astype(np.float32) * 3
+    pos_rows = np.repeat(pts, 4, axis=0)
+    keys = rng.integers(0, 200, size=(q,)).astype(np.uint32)
+    keys[rng.random(q) < 0.05] = np.uint32(0xFFFFFFFF)  # sentinels
+    cand = jnp.asarray(keys)
+    posr = jnp.asarray(pos_rows)
+
+    outs = {}
+    for ht in ("sort", "scatter"):
+        for mm in ("table", "scan"):
+            sl.HEAD_TABLE_MODE, sl.MEAN_MODE = ht, mm
+            try:
+                outs[(ht, mm)] = jax.jit(
+                    lambda c, p: sl._union_with_birth_and_mean(c, p, cap, T)
+                )(cand, posr)
+            finally:
+                sl.HEAD_TABLE_MODE, sl.MEAN_MODE = "sort", "table"
+    base = outs[("sort", "table")]
+    for k, v in outs.items():
+        for i, (a, b) in enumerate(zip(base, v)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"{k} out[{i}]")
