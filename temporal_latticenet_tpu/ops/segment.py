@@ -11,6 +11,8 @@ depends on -- lattice_modules.py:556-562).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -26,8 +28,7 @@ def segment_mean(data, segment_ids, num_segments, valid=None):
     return sums / jnp.maximum(cnts, 1.0)[:, None]
 
 
-def segment_max_with_bary_packed(data, bary, segment_ids, num_segments,
-                                 valid=None):
+def _packed_max_impl(data, bary, segment_ids, num_segments, valid):
     """Per-segment, per-channel max of bf16 ``data`` plus the barycentric
     weight of the winning row -- in ONE scatter pass.
 
@@ -73,7 +74,44 @@ def segment_max_with_bary_packed(data, bary, segment_ids, num_segments,
     mx = jnp.where(has, mx, 0.0)
     bary_sel = jnp.where(has, (best & 0xFFFF).astype(jnp.float32) / 65535.0,
                          0.0)
-    return mx, bary_sel
+    return mx, bary_sel, packed, best
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def segment_max_with_bary_packed(data, bary, segment_ids, num_segments,
+                                 valid=None):
+    out = _packed_max_impl(data, bary, segment_ids, num_segments, valid)
+    return out[0], out[1]
+
+
+def _packed_max_fwd(data, bary, segment_ids, num_segments, valid):
+    mx, bary_sel, packed, best = _packed_max_impl(
+        data, bary, segment_ids, num_segments, valid)
+    return (mx, bary_sel), (packed, best, segment_ids,
+            jnp.zeros((0,), data.dtype))
+
+
+def _packed_max_bwd(num_segments, res, cots):
+    """Straight-through max gradient: the cotangent of each segment/channel
+    flows to its winning row -- ONE GATHER by segment id, no scatter.
+
+    The packed forward is built from bitcasts (non-differentiable in XLA),
+    so without this VJP the pointnet MLP under bf16 receives exactly zero
+    gradient (caught in round 3; tests/test_segment.py pins it).  Ties in
+    the packed uint32 (same bf16 value AND same quantised bary) would give
+    the gradient to every tied row where torch_scatter picks one; exact
+    ties are vanishingly rare (documented in PARITY.md).
+    """
+    packed, best, segment_ids, dtype_token = res
+    dmx, dbary_sel = cots
+    sel_best = best[segment_ids]
+    winner = (packed == sel_best) & (sel_best != 0)
+    ddata = jnp.where(winner, dmx[segment_ids], 0.0).astype(dtype_token.dtype)
+    dbary = jnp.where(winner, dbary_sel[segment_ids], 0.0).sum(-1)
+    return ddata, dbary, None, None
+
+
+segment_max_with_bary_packed.defvjp(_packed_max_fwd, _packed_max_bwd)
 
 
 def segment_max_with_argmax(data, segment_ids, num_segments, valid=None):
