@@ -67,6 +67,50 @@ class SeqLattice:
         return NeighborTable(idx=lv.nbr_idx, found=found)
 
 
+def _blocked_seg_scan(comb, head: jax.Array, val: jax.Array,
+                      block: int = 128):
+    """Two-level segmented inclusive scan, numerically identical to
+    ``jax.lax.associative_scan(comb, (head, val))``.
+
+    XLA's associative_scan makes ~log2(Q) full passes over the operands
+    (measured 16.5 ms for a (bool, 4ch f32) scan at Q=2M vs a ~2 ms
+    traffic roofline, scripts/profile_union.py).  Splitting Q into
+    (Q/block, block) scans only log2(block) passes over the data: inner
+    scan along the block axis, a negligible carry scan over Q/block block
+    tails, and one elementwise fix-up combining each block's carry-in.
+    Block 0 keeps its inner result (the carry identity is not expressible
+    for non-monoid combines like head-copy).
+    """
+    q = head.shape[0]
+    nb = q // block
+    if nb * block != q or nb < 2:
+        _, out = jax.lax.associative_scan(comb, (head, val))
+        return out
+    h = head.reshape(nb, block)
+    v = val.reshape(nb, block, *val.shape[1:])
+    fi, vi = jax.lax.associative_scan(comb, (h, v), axis=1)
+    fc, vc = jax.lax.associative_scan(comb, (fi[:, -1], vi[:, -1]), axis=0)
+    f_in = jnp.roll(fc, 1, axis=0)
+    v_in = jnp.roll(vc, 1, axis=0)
+    ff, vf = comb((f_in[:, None], v_in[:, None]), (fi, vi))
+    first = jnp.arange(nb)[:, None] == 0
+    out = jnp.where(jnp.reshape(first, first.shape + (1,) * (val.ndim - 1)),
+                    vi, vf)
+    return out.reshape(val.shape)
+
+
+def _blocked_cumsum(x: jax.Array, block: int = 128) -> jax.Array:
+    """Blocked 1-D cumsum: log2(block) data passes instead of log2(Q)
+    (same rationale as :func:`_blocked_seg_scan`)."""
+    q = x.shape[0]
+    nb = q // block
+    if nb * block != q or nb < 2:
+        return jnp.cumsum(x)
+    inner = jnp.cumsum(x.reshape(nb, block), axis=1)
+    carry = jnp.roll(jnp.cumsum(inner[:, -1]), 1).at[0].set(0)
+    return (inner + carry[:, None]).reshape(q)
+
+
 def _seg_copy_head(head: jax.Array, val: jax.Array) -> jax.Array:
     """Propagate each run head's value across its (contiguous) run.
 
@@ -76,8 +120,7 @@ def _seg_copy_head(head: jax.Array, val: jax.Array) -> jax.Array:
         fa, va = a
         fb, vb = b
         return fa | fb, jnp.where(fb, vb, va)
-    _, out = jax.lax.associative_scan(comb, (head, val))
-    return out
+    return _blocked_seg_scan(comb, head, val)
 
 
 def _seg_sum_rows(head: jax.Array, val: jax.Array) -> jax.Array:
@@ -86,8 +129,7 @@ def _seg_sum_rows(head: jax.Array, val: jax.Array) -> jax.Array:
         fa, va = a
         fb, vb = b
         return fa | fb, jnp.where(fb[..., None], vb, va + vb)
-    _, out = jax.lax.associative_scan(comb, (head, val))
-    return out
+    return _blocked_seg_scan(comb, head, val)
 
 
 def _seg_copy_tail_rows(tail: jax.Array, val: jax.Array) -> jax.Array:
@@ -96,7 +138,7 @@ def _seg_copy_tail_rows(tail: jax.Array, val: jax.Array) -> jax.Array:
         fa, va = a
         fb, vb = b
         return fa | fb, jnp.where(fb[..., None], vb, va)
-    _, out = jax.lax.associative_scan(comb, (tail[::-1], val[::-1]))
+    out = _blocked_seg_scan(comb, tail[::-1], val[::-1])
     return out[::-1]
 
 
@@ -214,7 +256,7 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
         dimension=0, num_keys=2)
     valid2 = k2 != PACKED_SENTINEL
     head2 = valid2 & jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
-    urank2 = jnp.cumsum(head2.astype(jnp.int32)) - 1
+    urank2 = _blocked_cumsum(head2.astype(jnp.int32)) - 1
     fits = valid2 & (urank2 < capacity - 1)
     fin = jnp.where(fits, urank2 + 1, 0)
 
@@ -283,7 +325,7 @@ def _finish_union(sp, so, birth_rows, capacity: int, n_frames: int):
                                dimension=0, num_keys=2)
     valid2 = k2 != PACKED_SENTINEL
     head2 = valid2 & jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
-    urank2 = jnp.cumsum(head2.astype(jnp.int32)) - 1
+    urank2 = _blocked_cumsum(head2.astype(jnp.int32)) - 1
     fits = valid2 & (urank2 < capacity - 1)
     fin = jnp.where(fits, urank2 + 1, 0)
 

@@ -233,3 +233,36 @@ def test_union_mode_variants_identical(rng):
         for i, (a, b) in enumerate(zip(base, v)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=f"{k} out[{i}]")
+
+
+def test_blocked_seg_scan_matches_associative_scan(rng):
+    """The two-level blocked segmented scan must be numerically identical
+    to jax.lax.associative_scan for both combine functions, including
+    ragged segment/block alignments and the non-divisible fallback."""
+    from temporal_latticenet_tpu.ops import seq_lattice as sl
+
+    def comb_copy(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    def comb_sum(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb[..., None], vb, va + vb)
+
+    for q in (1024, 4096, 1000):
+        head = jnp.asarray(rng.random(q) < 0.05)
+        head = head.at[0].set(True)
+        v1 = jnp.asarray(rng.normal(size=(q,)).astype(np.float32))
+        vk = jnp.asarray(rng.normal(size=(q, 4)).astype(np.float32))
+
+        ref1 = jax.lax.associative_scan(comb_copy, (head, v1))[1]
+        np.testing.assert_allclose(
+            np.asarray(sl._blocked_seg_scan(comb_copy, head, v1)),
+            np.asarray(ref1), rtol=1e-6)
+
+        refk = jax.lax.associative_scan(comb_sum, (head, vk))[1]
+        np.testing.assert_allclose(
+            np.asarray(sl._blocked_seg_scan(comb_sum, head, vk)),
+            np.asarray(refk), rtol=1e-5, atol=1e-5)
