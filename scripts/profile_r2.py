@@ -121,7 +121,7 @@ def main():
     def mean_inunion(positions, mask):
         cand_packed, _, _ = _union_prefix(positions, mask)
         pos_rows = jnp.repeat(positions, dp1, axis=1)
-        _, _, _, _, rel, nr = sl._union_with_birth_and_mean(
+        _, _, _, _, rel, nr, _ = sl._union_with_birth_and_mean(
             cand_packed, pos_rows.reshape(-1, 3), cap0, T)
         return rel + nr.sum()
 

@@ -99,12 +99,22 @@ class LNNSeq(nn.Module):
 
     @nn.compact
     def __call__(self, positions, values, mask, state: SeqState,
-                 final: bool = True, deterministic: bool = True, pre=None):
+                 final: bool = True, deterministic: bool = True, pre=None,
+                 pointnet_batch=None, pre_reduced=None):
         """``pre``, when given, is (SeqLattice, DistributeOut-for-this-frame)
         from ``ops.seq_lattice.build_sequence_lattice``: the whole sequence's
         tables/neighbors/links were built in one pass and this frame only
         runs the network (see seq_lattice.py)."""
         cfg, rt = self.cfg, self.rt
+        if pointnet_batch is not None:
+            # r3 batched-pointnet precompute: values is the full (T, P, V)
+            # stack; returns (T, cap0, 2C) pre-reduced tensors (see
+            # PointNetSeq._reduce_sorted)
+            return PointNetSeq(cfg, name="point_net_seq")(
+                None, None, None, None, None, None, None,
+                sorted_batch=(pointnet_batch.sorted_pn, values,
+                              pointnet_batch.row_bary,
+                              pointnet_batch.nr_points))
         L = cfg.nr_downsamples
         is_first = state.t == 0
         seq = cfg.sequence_learning
@@ -168,7 +178,8 @@ class LNNSeq(nn.Module):
         with jax.named_scope("pointnet"):
             lv, h[0] = PointNetSeq(cfg, name="point_net_seq")(
                 dist, values_rows, nbrs[0], counts[0], h[0], pc[0],
-                is_first, deterministic, nr_points=nr_points)
+                is_first, deterministic, nr_points=nr_points,
+                pre_reduced=pre_reduced)
         pc[0] = counts[0]
 
         if (not final) and seq and cut <= 0:

@@ -47,7 +47,8 @@ class PointNetSeq(nn.Module):
     @nn.compact
     def __call__(self, dist: DistributeOut, values_rows: jax.Array,
                  nbr: NeighborTable, count, h_early, prev_count, is_first,
-                 deterministic=True, nr_points=None):
+                 deterministic=True, nr_points=None, sorted_batch=None,
+                 pre_reduced=None):
         """Args:
           dist: DistributeOut of the current frame (level 0).
           values_rows: (R, V) per-row point feature values (reflectance etc.).
@@ -59,11 +60,25 @@ class PointNetSeq(nn.Module):
             free inside its union scans); when absent it is recomputed with
             a segment_sum like the reference's scatter (models.py:452-454).
 
+        ``sorted_batch``: (SortedPN, values (T,P,V), row_bary (T,P*4),
+        nr_points (T,cap)) -- batched fast path (r3): compute the MLP +
+        packed max for ALL frames at once over the union-sorted rows and
+        return the per-frame ``reduced`` tensor (T, cap, 2*C); no fusion,
+        no conv (the caller replays frames with ``pre_reduced``).
+        ``pre_reduced``: this frame's precomputed ``reduced`` -- skip the
+        MLP+max and resume at the early fusion.
+
         Returns (lv (cap, start_nr_channels), new_h_early).
         """
         cfg = self.cfg
+        if sorted_batch is not None:
+            return self._reduce_sorted(*sorted_batch)
         experiment = cfg.experiment
         cap = nbr.idx.shape[0]
+        if pre_reduced is not None:
+            reduced = pre_reduced
+            return self._fuse_and_conv(reduced, nbr, count, h_early,
+                                       prev_count, is_first, deterministic)
         rid = dist.row_vertex
         rvalid = dist.row_valid
 
@@ -139,7 +154,14 @@ class PointNetSeq(nn.Module):
             if not is_early_maxpool:
                 reduced = jnp.where((counts >= 4)[:, None], reduced, 0.0)
 
-        # ---- early temporal fusion -------------------------------------
+        return self._fuse_and_conv(reduced, nbr, count, h_early,
+                                   prev_count, is_first, deterministic)
+
+    def _fuse_and_conv(self, reduced, nbr, count, h_early, prev_count,
+                       is_first, deterministic):
+        """Early temporal fusion + the first lattice conv (shared by the
+        per-frame and pre-reduced paths)."""
+        cfg = self.cfg
         new_h = h_early
         if cfg.sequence_learning and cfg.rnn_modules[0] != "none":
             fusion = make_fusion(cfg.rnn_modules[0], cfg.early_channels, cfg,
@@ -159,3 +181,46 @@ class PointNetSeq(nn.Module):
                          dtype=cfg.compute_dtype,
                          name="last_conv")(reduced, nbr, count)
         return lv, new_h
+
+    def _reduce_sorted(self, spn, values, row_bary, nr_points_all):
+        """All-frames MLP + packed max over union-sorted rows (r3).
+
+        Identical per-row math to the frame path: the MLP is row-local, so
+        order is irrelevant; the packed max over a (vertex, frame) bucket
+        sees exactly the rows the per-frame segment_max saw.  The backward
+        is the straight-through gather VJP (ops/segment.sorted_packed_max).
+        """
+        cfg = self.cfg
+        cd = jnp.dtype(cfg.compute_dtype)
+        t, p, v = values.shape
+        vals_flat = jnp.repeat(values.reshape(t * p, v), 4, axis=0)
+        bary_flat = row_bary.reshape(-1)
+        vb = jnp.concatenate([vals_flat, bary_flat[:, None]], 1)[spn.so]
+        vals_s = vb[:, :v] * spn.live[:, None]
+        bary_s = vb[:, v]
+
+        x = jnp.concatenate([spn.rel, vals_s], axis=-1).astype(cd)
+        for i, width in enumerate(cfg.pointnet_layers):
+            fan_in = x.shape[-1]
+            k = self.param(f"layers_{i}_kernel",
+                           _kaiming_normal_fan_in(fan_in), (fan_in, width))
+            b = self.param(f"layers_{i}_bias",
+                           _uniform(1.0 / math.sqrt(fan_in)), (width,))
+            x = (jnp.dot(x, k.astype(cd),
+                         preferred_element_type=jnp.float32) + b).astype(cd)
+            if i < len(cfg.pointnet_layers) - 1:
+                x = jax.nn.relu(x)
+
+        mx, bary_sel = seg.sorted_packed_max(
+            x, bary_s, spn.live, spn.head_vf, spn.bucket,
+            spn.tailpos, nr_points_all > 0)
+        cap = nr_points_all.shape[1]
+        c = x.shape[-1]
+        reduced = jnp.concatenate([mx.reshape(t, cap, c),
+                                   bary_sel.reshape(t, cap, c)], axis=-1)
+        is_early_maxpool = (cfg.sequence_learning
+                            and cfg.rnn_modules[0] == "maxpool")
+        if not is_early_maxpool:
+            reduced = jnp.where((nr_points_all >= 4)[..., None], reduced,
+                                0.0)
+        return reduced

@@ -143,3 +143,103 @@ def segment_max_with_argmax(data, segment_ids, num_segments, valid=None):
                               num_segments=num_segments)
     arg = jnp.where(has, arg, -1)
     return mxz, arg.astype(jnp.int32)
+
+
+def _pack_value_bary(data, bary, live):
+    """bf16 value bits (monotone-mapped) in the high 16, quantised bary in
+    the low 16; 0 for dead rows (the u32-max identity)."""
+    bits = jax.lax.bitcast_convert_type(
+        data.astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+    mono = jnp.where(bits >= 0x8000, bits ^ jnp.uint32(0xFFFF),
+                     bits | jnp.uint32(0x8000))
+    b16 = (jnp.clip(bary, 0.0, 1.0) * 65535.0 + 0.5).astype(jnp.uint32)
+    packed = (mono << 16) | b16[:, None]
+    return jnp.where(live[:, None], packed, 0)
+
+
+def _decode_packed(best):
+    has = best != 0
+    mono_out = best >> 16
+    bits_out = jnp.where(mono_out >= 0x8000, mono_out ^ jnp.uint32(0x8000),
+                         mono_out ^ jnp.uint32(0xFFFF)).astype(jnp.uint16)
+    mx = jax.lax.bitcast_convert_type(bits_out, jnp.bfloat16
+                                      ).astype(jnp.float32)
+    mx = jnp.where(has, mx, 0.0)
+    bary_sel = jnp.where(has, (best & 0xFFFF).astype(jnp.float32) / 65535.0,
+                         0.0)
+    return mx, bary_sel
+
+
+def _sorted_packed_max_impl(data, bary, live, head, bucket, tailpos,
+                            bucket_live):
+    from . import seq_lattice as sl
+
+    packed = _pack_value_bary(data, bary, live)
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb[..., None], vb, jnp.maximum(va, vb))
+    scanned = sl._blocked_seg_scan(comb, head, packed)
+    best = scanned[tailpos.reshape(-1)]
+    best = jnp.where(bucket_live.reshape(-1, 1), best, 0)
+    return best, packed
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def sorted_packed_max(data, bary, live, head, bucket, tailpos, bucket_live):
+    """Packed value+bary segment max over CONTIGUOUS sorted sub-runs.
+
+    The r3 batched-pointnet path: in the union's sorted order every
+    (vertex, frame) bucket is a contiguous run, so the per-frame
+    ``segment_max`` scatters (~8 ms/frame at bench scale) become ONE
+    blocked segmented max-scan over all frames plus a (B,)-row gather at
+    the recorded tail positions.  Same packed semantics as
+    :func:`segment_max_with_bary_packed` (bf16-exact max, winner bary
+    quantised to 1/65535, empty buckets -> (0, 0)).
+
+    Args:
+      data: (Q, C) rows in sorted order (cast to bf16 for packing).
+      bary: (Q,) f32; live: (Q,) bool; head: (Q,) bool sub-run heads.
+      bucket: (Q,) int32 bucket id per row (for the gradient gather).
+      tailpos: (B,) or (T, cap) int32 sorted position of each bucket tail.
+      bucket_live: matching bool, False for empty buckets (tailpos is 0
+        there and would read an unrelated row).
+
+    Returns (mx (B, C) f32, bary_sel (B, C) f32), B = tailpos.size.
+    """
+    best, _ = _sorted_packed_max_impl(data, bary, live, head, bucket,
+                                      tailpos, bucket_live)
+    return _decode_packed(best)
+
+
+def _sorted_packed_max_fwd(data, bary, live, head, bucket, tailpos,
+                           bucket_live):
+    best, packed = _sorted_packed_max_impl(data, bary, live, head, bucket,
+                                           tailpos, bucket_live)
+    return _decode_packed(best), (packed, best, bucket,
+                                  jnp.zeros((0,), data.dtype))
+
+
+def _sorted_packed_max_bwd(res, cots):
+    """Straight-through: each bucket/channel cotangent flows to the winning
+    row by ONE gather of the bucket's best (see _packed_max_bwd)."""
+    packed, best, bucket, dtype_token = res
+    dmx, dbary_sel = cots
+    nb = best.shape[0]
+    best_pad = jnp.concatenate([best, jnp.zeros((1,) + best.shape[1:],
+                                                best.dtype)])
+    dmx_pad = jnp.concatenate([dmx, jnp.zeros((1,) + dmx.shape[1:],
+                                              dmx.dtype)])
+    dbs_pad = jnp.concatenate([dbary_sel,
+                               jnp.zeros((1,) + dbary_sel.shape[1:],
+                                         dbary_sel.dtype)])
+    b = jnp.minimum(bucket, nb)
+    sel_best = best_pad[b]
+    winner = (packed == sel_best) & (sel_best != 0)
+    ddata = jnp.where(winner, dmx_pad[b], 0.0).astype(dtype_token.dtype)
+    dbary = jnp.where(winner, dbs_pad[b], 0.0).sum(-1)
+    return ddata, dbary, None, None, None, None, None
+
+
+sorted_packed_max.defvjp(_sorted_packed_max_fwd, _sorted_packed_max_bwd)

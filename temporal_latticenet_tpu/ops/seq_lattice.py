@@ -47,6 +47,26 @@ class SeqLevel:
 
 
 @flax.struct.dataclass
+class SortedPN:
+    """Union-sorted-order pointnet inputs (the r3 batched fast path).
+
+    The per-frame pointnet's segment_max scatter costs ~8 ms/frame; in the
+    union's (birth, key)-sorted order every (vertex, frame) bucket is a
+    CONTIGUOUS sub-run, so the max becomes one blocked segmented max-scan
+    over all T frames at once, with the per-bucket result sitting at the
+    sub-run tail.  These arrays let the model run its MLP directly on
+    sorted rows and extract (T, cap, C) results by one small gather.
+    """
+
+    rel: jax.Array       # (Q, 3) f32 rel-to-local-mean positions, sorted
+    so: jax.Array        # (Q,) int32 original row id per sorted row
+    live: jax.Array      # (Q,) bool row lands in a real vertex slot
+    head_vf: jax.Array   # (Q,) bool (vertex, frame) sub-run head flags
+    bucket: jax.Array    # (Q,) int32 frame*cap + vertex slot (T*cap if dead)
+    tailpos: jax.Array   # (T, cap) int32 sorted position of bucket tail
+
+
+@flax.struct.dataclass
 class SeqLattice:
     """All levels plus the per-frame distribute outputs at level 0."""
 
@@ -59,6 +79,7 @@ class SeqLattice:
     point_vertex: jax.Array           # (T, P, 4) int32
     point_bary: jax.Array             # (T, P, 4) f32
     nr_points: jax.Array | None = None  # (T, C0) f32 valid rows per vertex
+    sorted_pn: "SortedPN | None" = None
 
     def frame_nbr(self, level: int, t) -> NeighborTable:
         """Neighbor table as visible at frame t (unborn neighbors absent)."""
@@ -274,20 +295,27 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
 
     if MEAN_MODE == "table":
         # r3: ONE scan.  Tail rows (which hold the full sub-run totals)
-        # scatter into a (T*cap+1, 4) table; every row then GATHERS its
+        # scatter into a (T*cap+1, 5) table; every row then GATHERS its
         # total back (~2.6 ns/row vs ~4x-a-sort for the backward scan).
-        # The table's w channel IS nr_points -- the old separate 1-ch
-        # scatter is subsumed.
+        # The table's w channel IS nr_points, and channel 4 records the
+        # tail's sorted POSITION (exact in f32 up to 2^24 rows) for the
+        # batched-pointnet extraction (SortedPN.tailpos) -- widening the
+        # scatter is free, its cost is per indexed row.
         dst_np = jnp.where(tail_vf, bucket, n_frames * capacity)
-        buf = jnp.zeros((n_frames * capacity + 1, 4), jnp.float32
-                        ).at[dst_np].set(run_tot)
-        tot = buf[bucket]
+        posf = jnp.arange(q, dtype=jnp.float32)
+        buf = jnp.zeros((n_frames * capacity + 1, 5), jnp.float32
+                        ).at[dst_np].set(
+                            jnp.concatenate([run_tot, posf[:, None]], 1))
+        tot = buf[bucket][:, :4]
         nr_points = buf[: n_frames * capacity, 3].reshape(n_frames, capacity)
+        tailpos = buf[: n_frames * capacity, 4].astype(jnp.int32).reshape(
+            n_frames, capacity)
     else:
         tot = _seg_copy_tail_rows(tail_vf, run_tot)
         dst_np = jnp.where(tail_vf & fits, bucket, n_frames * capacity)
         nr_points = jnp.zeros((n_frames * capacity,), jnp.float32).at[
             dst_np].set(tot[:, 3], mode="drop").reshape(n_frames, capacity)
+        tailpos = None
     mean2 = tot[:, :3] / jnp.maximum(tot[:, 3:], 1.0)
     rel2 = (jnp.stack([px2, py2, pz2], axis=1) - mean2) * w2[:, None]
     nr_points = nr_points.at[:, 0].set(0.0)
@@ -304,7 +332,11 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     counts = 1 + jnp.sum(
         (birth_final[None, :] <= jnp.arange(n_frames)[:, None])
         & (packed_final != PACKED_SENTINEL)[None, :], axis=1).astype(jnp.int32)
-    return packed_final, birth_final, row_idx, counts, rel, nr_points
+    sorted_pn = (None if tailpos is None else SortedPN(
+        rel=rel2, so=so2, live=fits, head_vf=head_vf, bucket=bucket,
+        tailpos=tailpos))
+    return packed_final, birth_final, row_idx, counts, rel, nr_points, \
+        sorted_pn
 
 
 def _finish_union(sp, so, birth_rows, capacity: int, n_frames: int):
@@ -431,9 +463,10 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
         # positions ride the union's sorts; the per-(vertex, frame) mean
         # comes from segmented scans instead of scatter/gather passes
         # (103 -> ~25 ms at bench scale, scripts/profile_r2.py)
-        packed0, birth0, row_idx, counts0, rel_flat, nr_points = \
-            _union_with_birth_and_mean(cand_packed, pos_rows.reshape(-1, 3),
-                                       cap0, t_frames)
+        packed0, birth0, row_idx, counts0, rel_flat, nr_points, sorted_pn \
+            = _union_with_birth_and_mean(cand_packed,
+                                         pos_rows.reshape(-1, 3),
+                                         cap0, t_frames)
         rel = rel_flat.reshape(t_frames, p * dp1, 3)
         row_vertex = row_idx.reshape(t_frames, p * dp1)
         row_valid = rvalid & (row_vertex > 0)
@@ -445,6 +478,7 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
         row_valid = rvalid & (row_vertex > 0)
         rel = pos_rows * row_valid[..., None].astype(jnp.float32)
         nr_points = None
+        sorted_pn = None
     row_bary = jnp.where(row_valid, bary, 0.0)
 
     levels = []
@@ -488,6 +522,7 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
         point_vertex=row_vertex.reshape(t_frames, p, dp1),
         point_bary=row_bary.reshape(t_frames, p, dp1),
         nr_points=nr_points,
+        sorted_pn=sorted_pn,
     )
 
 

@@ -95,32 +95,52 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                 point_vertex=seqlat.point_vertex,
                 point_bary=seqlat.point_bary)  # all fields (T, ...)
 
+            # r3 batched pointnet: the MLP + packed max have no temporal
+            # dependency, so compute them for ALL frames at once over the
+            # union-sorted rows (one blocked max-scan instead of T
+            # segment_max scatters); each frame then resumes at its early
+            # fusion with its pre-reduced slice.
+            batched_pn = (seqlat.sorted_pn is not None
+                          and cfg.experiment == "none"
+                          and cfg.compute_dtype == "bfloat16")
+            if batched_pn:
+                reduced_all = model.apply(
+                    params, None, values, None, state,
+                    pointnet_batch=seqlat)
+            else:
+                reduced_all = jnp.zeros((t, 1, 1), jnp.float32)
+
+            def _red(slice_):
+                return slice_ if batched_pn else None
+
             if t > 1:
                 @_maybe_remat
-                def step_trim(carry, v, m, d):
+                def step_trim(carry, v, m, d, red):
                     _, carry, _ = model.apply(
                         params, None, v, m, carry, final=False,
-                        deterministic=deterministic, pre=(seqlat, d))
+                        deterministic=deterministic, pre=(seqlat, d),
+                        pre_reduced=_red(red))
                     return carry
 
                 def body(carry, xs):
-                    v, m, d = xs
-                    return step_trim(carry, v, m, d), ()
+                    v, m, d, red = xs
+                    return step_trim(carry, v, m, d, red), ()
                 xs = (values[:-1], mask[:-1],
-                      jax.tree_util.tree_map(lambda a: a[:-1], full_dist))
+                      jax.tree_util.tree_map(lambda a: a[:-1], full_dist),
+                      reduced_all[:-1])
                 state, _ = jax.lax.scan(body, state, xs)
             last_dist = jax.tree_util.tree_map(lambda a: a[-1], full_dist)
 
             @_maybe_remat
-            def step_final(carry, v, m, d):
+            def step_final(carry, v, m, d, red):
                 (logp, sv), carry, aux = model.apply(
                     params, None, v, m, carry, final=True,
                     deterministic=deterministic, pre=(seqlat, d),
-                    rngs=rngs)
+                    pre_reduced=_red(red), rngs=rngs)
                 return logp, sv, carry, aux
 
             logp, sv, state, aux = step_final(state, values[-1], mask[-1],
-                                              last_dist)
+                                              last_dist, reduced_all[-1])
             return logp, sv, aux
 
         if t > 1:

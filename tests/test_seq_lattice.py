@@ -130,7 +130,7 @@ def test_union_mean_matches_scatter_reference(rng):
     packed = pack_keys(flat)
     order = jnp.arange(T * P * 4, dtype=jnp.int32)
     p0, b0, ri0, c0 = sl._union_with_birth(packed, order, cap, T)
-    p1, b1, ri1, c1, _, _ = sl._union_with_birth_and_mean(
+    p1, b1, ri1, c1, _, _, _ = sl._union_with_birth_and_mean(
         packed, jnp.asarray(pos_rows.reshape(-1, 3)), cap, T)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_array_equal(np.asarray(b0), np.asarray(b1))
@@ -230,7 +230,8 @@ def test_union_mode_variants_identical(rng):
                 sl.HEAD_TABLE_MODE, sl.MEAN_MODE = "sort", "table"
     base = outs[("sort", "table")]
     for k, v in outs.items():
-        for i, (a, b) in enumerate(zip(base, v)):
+        # element 6 (sorted_pn aux) legitimately exists only in table mode
+        for i, (a, b) in enumerate(zip(base[:6], v[:6])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=f"{k} out[{i}]")
 
