@@ -273,6 +273,13 @@ class RuntimeConfig:
     min_capacity: int = 8192
     sigma: float = 0.6
     compute_dtype: str = "float32"
+    # r3: compute the pointnet MLP+max for all frames at once over the
+    # union-sorted rows.  Exact-equal to the per-frame path (tested); OFF
+    # by default because the pure-XLA blocked max-scan over 64 u32
+    # channels measured SLOWER than the per-frame scatters it replaces
+    # (+58 ms/seq at bench scale) -- flip on once the single-pass Pallas
+    # segmented-max reduction lands/wins.
+    batched_pointnet: bool = False
 
     def capacities(self, nr_downsamples: int) -> tuple:
         caps = [self.capacity_level0]

@@ -176,11 +176,19 @@ def _sorted_packed_max_impl(data, bary, live, head, bucket, tailpos,
 
     packed = _pack_value_bary(data, bary, live)
 
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb[..., None], vb, jnp.maximum(va, vb))
-    scanned = sl._blocked_seg_scan(comb, head, packed)
+    if jax.default_backend() != "cpu":
+        # single-pass Pallas kernel (one read + one write of the data);
+        # the blocked associative_scan fallback makes ~8 passes
+        from . import pallas_scan as ps
+        hc = sl._blocked_cumsum(head.astype(jnp.int32))
+        scanned = ps.sorted_segment_max_u32(hc, packed)
+    else:
+        def comb(a, b):
+            fa, va = a
+            fb, vb = b
+            return fa | fb, jnp.where(fb[..., None], vb,
+                                      jnp.maximum(va, vb))
+        scanned = sl._blocked_seg_scan(comb, head, packed)
     best = scanned[tailpos.reshape(-1)]
     best = jnp.where(bucket_live.reshape(-1, 1), best, 0)
     return best, packed

@@ -101,6 +101,7 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
             # segment_max scatters); each frame then resumes at its early
             # fusion with its pre-reduced slice.
             batched_pn = (seqlat.sorted_pn is not None
+                          and getattr(rt, "batched_pointnet", False)
                           and cfg.experiment == "none"
                           and cfg.compute_dtype == "bfloat16")
             if batched_pn:

@@ -270,3 +270,29 @@ def test_streaming_batched_incremental_matches_single_stream(rng):
 
     for i in range(B):
         np.testing.assert_allclose(np.asarray(logp_b[i]), ref[i], atol=1e-5)
+
+
+def test_batched_pointnet_matches_per_frame(rng):
+    """r3: the batched (union-sorted) pointnet fast path must produce the
+    same sequence logits as the per-frame path."""
+    from tests.test_model import _frames
+    cfg = tiny_cfg()
+    rt_off = TINY_RT
+    import dataclasses
+    rt_on = dataclasses.replace(TINY_RT, batched_pointnet=True)
+
+    model_off, state0, _ = engine.create_train_state(cfg, rt_off, 1e-3, 0.0)
+    frames = _frames(rng)
+    P = jnp.stack([f[0] for f in frames])
+    V = jnp.stack([f[1] for f in frames])
+    M = jnp.stack([f[2] for f in frames])
+
+    fwd_off = engine.make_sequence_forward(model_off, cfg, rt_off)
+    from temporal_latticenet_tpu.models import LNNSeq
+    model_on = LNNSeq(cfg, rt_on)
+    fwd_on = engine.make_sequence_forward(model_on, cfg, rt_on)
+
+    logp_off, _, _ = fwd_off(state0.params, P, V, M)
+    logp_on, _, _ = fwd_on(state0.params, P, V, M)
+    np.testing.assert_allclose(np.asarray(logp_on), np.asarray(logp_off),
+                               atol=1e-5)
