@@ -193,6 +193,13 @@ def _head_table(head2, fits, urank2, k2, b2, capacity: int, n_frames: int):
                      jnp.uint32(0xFFFFFFFF))
     _, kk, bb = jax.lax.sort((hkey, k2, b2.astype(jnp.uint32)),
                              dimension=0, num_keys=1)
+    if kk.shape[0] < capacity - 1:
+        # fewer candidate rows than table slots (tiny configs): pad to the
+        # table size so the where() below broadcasts
+        pad = capacity - 1 - kk.shape[0]
+        kk = jnp.concatenate([kk, jnp.full((pad,), PACKED_SENTINEL,
+                                           jnp.uint32)])
+        bb = jnp.concatenate([bb, jnp.full((pad,), n_frames, jnp.uint32)])
     n_heads = jnp.minimum(urank2[-1] + 1, capacity - 1)
     rank = jnp.arange(capacity - 1, dtype=jnp.int32)
     live = rank < n_heads
