@@ -169,7 +169,11 @@ def write_moving_world(root, seq, n_scans, n_beams, n_az, moving, seed,
         pts, lbl = _raycast_scan(frame_world,
                                  np.array([speed * s, 0.02 * s]),
                                  0.01 * s, n_beams, n_az, rng)
-        refl = np.clip(0.1 + 0.08 * (lbl % 7)
+        # material-based reflectance (moving ids share their static
+        # counterpart's material) -- see lidar_like.material_class; using the
+        # raw label here would leak moving-vs-static to a single-frame model
+        from temporal_latticenet_tpu.data.lidar_like import material_class
+        refl = np.clip(0.1 + 0.08 * (material_class(lbl) % 7)
                        + 0.05 * rng.standard_normal(len(lbl)), 0, 1)
         arr = np.concatenate([pts, refl[:, None].astype(np.float32)], 1)
         arr.astype(np.float32).tofile(
@@ -212,7 +216,7 @@ def main():
     data = os.path.join(root, "data")
     stamp = os.path.join(data, "GENERATED.json")
     want = {"worlds": args.worlds, "scans": args.scans, "beams": beams,
-            "n_az": n_az, "moving": args.moving}
+            "n_az": n_az, "moving": args.moving, "refl": "material-v2"}
     if args.fresh_data or not (os.path.exists(stamp)
                                and json.load(open(stamp)) == want):
         t0 = time.perf_counter()

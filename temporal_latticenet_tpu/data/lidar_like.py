@@ -44,6 +44,13 @@ SENSOR_HEIGHT = 1.73   # m, HDL-64E mount height on the KITTI car
 MAX_RANGE = 80.0
 
 
+def material_class(lbl: np.ndarray) -> np.ndarray:
+    """Collapse moving ids onto the material of their static counterpart
+    (20 -> 1 car, 22 -> 6 person) for appearance-like channels."""
+    return np.where(lbl == CLASS_MOVING_CAR, CLASS_CAR,
+                    np.where(lbl == CLASS_MOVING_PERSON, CLASS_PERSON, lbl))
+
+
 def _make_world(rng: np.random.Generator, radius: float = 90.0):
     """Procedural world: vertical cylinders with a type-dependent size."""
     specs = [
@@ -242,8 +249,13 @@ def lidar_sequence(rng: np.random.Generator, frames: int, max_points: int,
         sel = (np.arange(n) if len(pts) <= max_points
                else rng.choice(len(pts), max_points, replace=False))
         out_p[t, :n] = pts[sel][:n]
-        # reflectance: class-dependent mean + noise
-        refl = (0.1 + 0.08 * (lbl[sel][:n] % 7)
+        # reflectance: MATERIAL-dependent mean + noise.  A moving actor has
+        # the same material as its static counterpart (moving-car looks like
+        # car, moving-person like person) -- otherwise reflectance would leak
+        # the moving/static distinction to a single-frame model and defeat
+        # the temporal-evidence experiment.
+        mat = material_class(lbl[sel][:n])
+        refl = (0.1 + 0.08 * (mat % 7)
                 + 0.05 * rng.standard_normal(n)).astype(np.float32)
         out_v[t, :n, 0] = np.clip(refl, 0.0, 1.0)
         out_l[t, :n] = lbl[sel][:n]

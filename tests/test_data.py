@@ -236,3 +236,35 @@ def test_lidar_like_sequence_realism():
     # pose drift: frame centroids advance along +x
     cx = [p[t][m[t]][:, 0].mean() for t in range(3)]
     assert cx[2] > cx[1] > cx[0]
+
+
+def test_lidar_like_moving_has_no_single_frame_leak():
+    """The moving-class experiment's controlled-variable invariant: a moving
+    actor is indistinguishable from its static counterpart within one frame.
+    Reflectance must depend on MATERIAL (car/person), not on the moving id,
+    and movers must actually move between frames."""
+    from temporal_latticenet_tpu.data.lidar_like import (
+        lidar_sequence, CLASS_CAR, CLASS_PERSON, CLASS_MOVING_CAR,
+        CLASS_MOVING_PERSON)
+
+    rng = np.random.default_rng(7)
+    p, v, l, m = lidar_sequence(rng, frames=4, max_points=16384,
+                                n_beams=32, n_az=512,
+                                moving_cars=12, moving_peds=10)
+    refl = v[..., 0]
+    for static_id, moving_id in [(CLASS_CAR, CLASS_MOVING_CAR),
+                                 (CLASS_PERSON, CLASS_MOVING_PERSON)]:
+        s = (l == static_id) & m
+        mv = (l == moving_id) & m
+        assert s.sum() > 100 and mv.sum() > 100
+        # identical material reflectance distribution (means within noise)
+        assert abs(refl[s].mean() - refl[mv].mean()) < 0.02
+
+    # movers translate between frames: per-frame centroid of moving-car
+    # points shifts by >= one lattice cell (sigma 0.6) on average
+    cents = []
+    for t in range(4):
+        sel = (l[t] == CLASS_MOVING_CAR) & m[t]
+        cents.append(p[t][sel][:, :2].mean(axis=0))
+    deltas = [np.linalg.norm(cents[t + 1] - cents[t]) for t in range(3)]
+    assert max(deltas) > 0.3
