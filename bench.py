@@ -87,6 +87,9 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--batched-pointnet", action="store_true",
+                    help="A/B: compute the pointnet for all frames at once "
+                    "over the union-sorted rows (Pallas segmented max)")
     args = ap.parse_args()
 
     # capacity defaults sized to measured occupancy (scripts/occupancy.py):
@@ -96,7 +99,8 @@ def main():
                                  else 98304)
     rt = RuntimeConfig(max_points=args.max_points,
                        capacity_level0=capacity,
-                       capacity_decay=0.5, min_capacity=8192, sigma=0.6)
+                       capacity_decay=0.5, min_capacity=8192, sigma=0.6,
+                       batched_pointnet=args.batched_pointnet)
     cfg = FLAGSHIP
     model = LNNSeq(cfg, rt)
     seq_fwd = make_sequence_forward(model, cfg, rt)

@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--generator", choices=("lidar", "synthetic"),
                     default="lidar")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--remat", choices=("full", "selective", "none"),
+                    default="full",
+                    help="BPTT remat mode (engine.make_sequence_forward)")
     args = ap.parse_args()
 
     from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
@@ -35,7 +38,8 @@ def main():
                                       else 98304)
 
     rt = RuntimeConfig(max_points=131072, capacity_level0=args.capacity,
-                       capacity_decay=0.5, min_capacity=8192, sigma=0.6)
+                       capacity_decay=0.5, min_capacity=8192, sigma=0.6,
+                       remat_mode=args.remat)
     cfg = ModelConfig(nr_classes=26, rnn_modules=("gru", "gru", "aflow", "gru"),
                       frames_per_seq=4)
 
@@ -69,6 +73,7 @@ def main():
         "unit": "points/sec/chip",
         "seconds_per_step": dt,
         "compile_seconds": compile_s,
+        "remat": args.remat,
     }), flush=True)
 
 

@@ -280,6 +280,10 @@ class RuntimeConfig:
     # (+58 ms/seq at bench scale) -- flip on once the single-pass Pallas
     # segmented-max reduction lands/wins.
     batched_pointnet: bool = False
+    # BPTT rematerialisation: "full" (recompute each frame in the backward,
+    # minimum memory), "selective" (save all but the rowified conv
+    # neighborhoods -- engine.make_sequence_forward), "none" (save all)
+    remat_mode: str = "full"
 
     def capacities(self, nr_downsamples: int) -> tuple:
         caps = [self.capacity_level0]
@@ -332,6 +336,8 @@ def runtime_config_from_cfg(parser: cfgParser) -> RuntimeConfig:
         min_capacity=rt.get("min_capacity", 4096),
         sigma=sigma,
         compute_dtype=rt.get("compute_dtype", "float32"),
+        batched_pointnet=rt.get("batched_pointnet", False),
+        remat_mode=rt.get("remat_mode", "full"),
     )
 
 

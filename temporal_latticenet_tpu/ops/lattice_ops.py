@@ -291,7 +291,12 @@ def gather_rowified(values: jax.Array, nbr: NeighborTable,
     g = jnp.concatenate([g, values[:, None, :]], axis=1)
     if apply_mask:
         g = g * nbr.found[..., None]
-    return g.reshape(cap, -1)
+    # named for selective rematerialisation: the (C, 9*Cin) rowified arrays
+    # are the largest activations of the network (9x their source rows);
+    # engine remat_mode="selective" recomputes exactly these in the
+    # backward (a ~2.6 ns/row gather) and saves everything else
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(g.reshape(cap, -1), "lattice_conv_rows")
 
 
 def lattice_conv(values: jax.Array, nbr: NeighborTable, weight: jax.Array,

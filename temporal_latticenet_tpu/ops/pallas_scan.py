@@ -118,17 +118,19 @@ def _seg_max_kernel_packed(hc2_ref, x2_ref, out_ref, carry_ref, prev_hc_ref,
 
     # steps 2, 4, ... along sublanes; a packed-row shift of s covers 2s
     # original rows.  Both halves fold the HI half of the shifted pair iff
-    # their run id matches the shifted pair's last row's id.
+    # their run id matches the shifted pair's last row's id.  Mosaic cannot
+    # select between i1 vectors ("unsupported target bitwidth for
+    # truncation"), so select the i32 comparison TARGET per lane instead:
+    # lanes [0:C] compare against the pair's LO run id, lanes [C:2C]
+    # against its HI run id.
     hc_hi = hcp[:, 1:]
+    hc_lane = jnp.where(lanes < c, hcp[:, :1], hc_hi)   # (half, 2C) i32
     step = 1
     while step < half:
         xh = jnp.concatenate([x2[:, c:], x2[:, c:]], axis=1)
         x_up = pltpu_roll(xh, step)
         hi_up = pltpu_roll(hc_hi, step)
-        ok = rows_i >= step
-        same_lo = (hi_up == hcp[:, :1]) & ok      # lanes [0:C]
-        same_hi = (hi_up == hc_hi) & ok           # lanes [C:2C]
-        same = jnp.where(lanes < c, same_lo, same_hi)
+        same = (hi_up == hc_lane) & (rows_i >= step)
         x2 = jnp.where(same, jnp.maximum(x2, x_up), x2)
         step *= 2
 
@@ -136,8 +138,7 @@ def _seg_max_kernel_packed(hc2_ref, x2_ref, out_ref, carry_ref, prev_hc_ref,
     prev = prev_hc_ref[0, 0]
     carr = carry_ref[:]                           # (1, C)
     cboth = jnp.concatenate([carr, carr], axis=1)
-    cont = jnp.where(lanes < c, (hcp[:, :1] == prev), (hc_hi == prev))
-    x2 = jnp.where(cont, jnp.maximum(x2, cboth), x2)
+    x2 = jnp.where(hc_lane == prev, jnp.maximum(x2, cboth), x2)
 
     out_ref[:] = x2
     carry_ref[:] = x2[-1:, c:]

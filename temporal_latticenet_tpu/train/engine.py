@@ -51,7 +51,7 @@ class SeqBatch(NamedTuple):
 
 
 def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
-                          precompute: bool = True, remat: bool = False):
+                          precompute: bool = True, remat=False):
     """Single-sequence forward: (params, frames(T,P,...)) -> (logp, aux).
 
     With ``precompute=True`` (default) the whole sequence's lattice is built
@@ -60,9 +60,14 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
     repeated table construction.  ``precompute=False`` keeps the streaming
     per-frame path (exactly what online inference uses).
 
-    ``remat=True`` checkpoints each frame's network for BPTT: the backward
-    pass recomputes per-frame activations instead of keeping every conv's
-    gathered neighborhoods live (which overflows HBM at full scale)."""
+    ``remat`` controls BPTT rematerialisation of each frame's network:
+      False        -- save every activation (overflows HBM at full scale);
+      True/"full"  -- recompute the whole frame in the backward (max
+                     memory saving, ~+1x forward FLOPs + scatters);
+      "selective"  -- save everything EXCEPT the (C, 9*Cin) rowified conv
+                     neighborhoods (the largest activations, 9x their
+                     source rows; named in ops/lattice_ops.gather_rowified)
+                     -- the backward redoes only cheap gathers."""
 
     from ..ops import lattice_ops as lo
     from ..ops import seq_lattice as sl
@@ -72,7 +77,13 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
     caps = rt.capacities(cfg.nr_downsamples)
 
     def _maybe_remat(fn):
-        return jax.checkpoint(fn) if remat else fn
+        if not remat or remat == "none":
+            return fn
+        if remat == "selective":
+            policy = jax.checkpoint_policies.save_anything_except_these_names(
+                "lattice_conv_rows")
+            return jax.checkpoint(fn, policy=policy)
+        return jax.checkpoint(fn)
 
     def seq_forward(params, positions, values, mask, deterministic=True,
                     rng=None):
@@ -201,8 +212,12 @@ def create_train_state(cfg: ModelConfig, rt: RuntimeConfig, lr: float,
 def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                     ignore_index: int = 0):
     # remat: recompute per-frame activations in the BPTT backward; without it
-    # the saved conv neighborhoods overflow HBM at full SemanticKITTI scale
-    seq_fwd = make_sequence_forward(model, cfg, rt, remat=True)
+    # the saved conv neighborhoods overflow HBM at full SemanticKITTI scale.
+    # rt.remat_mode="selective" keeps cheap activations and recomputes only
+    # the rowified conv neighborhoods (A/B'd in scripts/train_bench.py).
+    seq_fwd = make_sequence_forward(model, cfg, rt,
+                                    remat=getattr(rt, "remat_mode", "full")
+                                    or "full")
 
     def loss_one(params, positions, values, labels, mask, rng=None):
         # train path: stochastic dropout (the reference's model.train());

@@ -296,3 +296,24 @@ def test_batched_pointnet_matches_per_frame(rng):
     logp_on, _, _ = fwd_on(state0.params, P, V, M)
     np.testing.assert_allclose(np.asarray(logp_on), np.asarray(logp_off),
                                atol=1e-5)
+
+
+def test_remat_modes_same_grads(rng):
+    """r3 selective remat: "full", "selective", and "none" BPTT modes are
+    pure memory/time tradeoffs -- loss and gradients must match exactly."""
+    import dataclasses
+    cfg = tiny_cfg(rnn_modules=("gru", "gru", "aflow", "gru"))
+    batch = _batch(rng)
+
+    outs = {}
+    for mode in ("full", "selective", "none"):
+        rt = dataclasses.replace(TINY_RT, remat_mode=mode)
+        model, state, tx = engine.create_train_state(cfg, rt, 1e-3, 0.0)
+        train_step, _ = engine.make_train_step(model, cfg, rt, tx)
+        new_state, logp, metrics = train_step(state, batch, 1.0)
+        outs[mode] = (float(metrics["loss"]), float(metrics["grad_norm"]),
+                      np.asarray(logp))
+    for mode in ("selective", "none"):
+        assert np.isclose(outs[mode][0], outs["full"][0], atol=1e-6)
+        assert np.isclose(outs[mode][1], outs["full"][1], rtol=1e-4)
+        np.testing.assert_allclose(outs[mode][2], outs["full"][2], atol=1e-5)
