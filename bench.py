@@ -87,9 +87,13 @@ def main():
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--warmup", type=int, default=2)
-    ap.add_argument("--batched-pointnet", action="store_true",
-                    help="A/B: compute the pointnet for all frames at once "
-                    "over the union-sorted rows (Pallas segmented max)")
+    ap.add_argument("--batched-pointnet", dest="batched_pointnet",
+                    action="store_true", default=True,
+                    help="pointnet for all frames at once over the "
+                    "union-sorted rows (Pallas segmented max; default)")
+    ap.add_argument("--no-batched-pointnet", dest="batched_pointnet",
+                    action="store_false",
+                    help="A/B: per-frame pointnet scatters")
     args = ap.parse_args()
 
     # capacity defaults sized to measured occupancy (scripts/occupancy.py):

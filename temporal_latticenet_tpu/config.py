@@ -274,12 +274,12 @@ class RuntimeConfig:
     sigma: float = 0.6
     compute_dtype: str = "float32"
     # r3: compute the pointnet MLP+max for all frames at once over the
-    # union-sorted rows.  Exact-equal to the per-frame path (tested); OFF
-    # by default because the pure-XLA blocked max-scan over 64 u32
-    # channels measured SLOWER than the per-frame scatters it replaces
-    # (+58 ms/seq at bench scale) -- flip on once the single-pass Pallas
-    # segmented-max reduction lands/wins.
-    batched_pointnet: bool = False
+    # union-sorted rows (one single-pass Pallas segmented max instead of T
+    # segment_max scatters).  Exact-equal to the per-frame path (tested);
+    # A/B'd on TPU at bench scale: 0.2197 -> 0.2089 s/seq.  Engine falls
+    # back to the per-frame path when preconditions are absent
+    # (experiment != none, f32 compute, no sorted union aux).
+    batched_pointnet: bool = True
     # BPTT rematerialisation: "full" (recompute each frame in the backward,
     # minimum memory), "selective" (save all but the rowified conv
     # neighborhoods -- engine.make_sequence_forward), "none" (save all)
@@ -336,7 +336,7 @@ def runtime_config_from_cfg(parser: cfgParser) -> RuntimeConfig:
         min_capacity=rt.get("min_capacity", 4096),
         sigma=sigma,
         compute_dtype=rt.get("compute_dtype", "float32"),
-        batched_pointnet=rt.get("batched_pointnet", False),
+        batched_pointnet=rt.get("batched_pointnet", True),
         remat_mode=rt.get("remat_mode", "full"),
     )
 

@@ -333,6 +333,46 @@ class LevelLink:
 
     corner_idx: jax.Array    # (Cf, d+1) int32 coarse stable indices
     corner_bary: jax.Array   # (Cf, d+1) f32 weights (0 rows for invalid fine)
+    # Optional dst-sorted view (augment_link_sorted): turns each coarsen
+    # splat from a (Cf*4)-row scatter-add (~30 ns/row, the TPU floor) into
+    # gather + one-pass segmented sum + tail gather.  Built ONCE per
+    # sequence (the link is static across frames), reused by every frame.
+    sorted_src: jax.Array | None = None   # (Cf*4,) i32 fine row per entry
+    sorted_w: jax.Array | None = None     # (Cf*4,) f32 bary per entry
+    sorted_dst: jax.Array | None = None   # (Cf*4,) i32 nondecreasing dst
+    tailpos: jax.Array | None = None      # (Cc,) i32 last entry position
+    tail_live: jax.Array | None = None    # (Cc,) bool dst has entries
+
+
+def augment_link_sorted(link: LevelLink, coarse_cap: int) -> LevelLink:
+    """Attach the dst-sorted splat view to a LevelLink.
+
+    One (dst, entry, bary) 3-operand sort + a tail compaction (sort +
+    <= Cc-row scatter) per sequence; every subsequent splat_to_coarse of
+    the link rides sorted runs instead of scattering.
+    """
+    cf, dp1 = link.corner_idx.shape
+    n = cf * dp1
+    dst = link.corner_idx.reshape(-1).astype(jnp.uint32)
+    entry = jnp.arange(n, dtype=jnp.int32)
+    d_s, e_s, w_s = jax.lax.sort(
+        (dst, entry, link.corner_bary.reshape(-1)), dimension=0, num_keys=1)
+    tail = jnp.concatenate([d_s[1:] != d_s[:-1], jnp.ones((1,), bool)])
+    # compact the tails (sort pushes non-tails to the end), then scatter
+    # only <= Cc rows -- not the full n
+    pos = jnp.arange(n, dtype=jnp.int32)
+    hk = jnp.where(tail, d_s, jnp.uint32(0xFFFFFFFF))
+    d_t, p_t = jax.lax.sort((hk, pos), dimension=0, num_keys=1)
+    m = min(coarse_cap, n)
+    # 0xFFFFFFFF -> -1 as int32 -> dropped by the scatter
+    dd = d_t[:m].astype(jnp.int32)
+    tp = jnp.zeros((coarse_cap,), jnp.int32).at[dd].set(p_t[:m], mode="drop")
+    live = jnp.zeros((coarse_cap,), bool).at[dd].set(True, mode="drop")
+    return LevelLink(corner_idx=link.corner_idx,
+                     corner_bary=link.corner_bary,
+                     sorted_src=e_s // dp1, sorted_w=w_s,
+                     sorted_dst=d_s.astype(jnp.int32),
+                     tailpos=tp, tail_live=live)
 
 
 def grow_coarse_table(fine_table: VertexTable, coarse_table: VertexTable):
@@ -393,12 +433,59 @@ def grow_coarse_table_incremental(fine_table: VertexTable,
 
 def splat_to_coarse(fine_values: jax.Array, link: LevelLink,
                     coarse_cap: int) -> jax.Array:
-    """Barycentric splat of fine vertex features onto the coarse level."""
+    """Barycentric splat of fine vertex features onto the coarse level.
+
+    With an augmented link (augment_link_sorted) the splat is gather +
+    one-pass segmented sum + tail gather over dst-sorted entries instead
+    of a (Cf*4)-row scatter-add; numerically it differs from the scatter
+    only in f32 summation order.
+    """
+    if link.sorted_src is not None and 128 % fine_values.shape[-1] == 0:
+        return _splat_sorted(fine_values, link.sorted_src, link.sorted_w,
+                             link.sorted_dst, link.tailpos, link.tail_live,
+                             link.corner_idx, link.corner_bary)
     cf, dp1 = link.corner_idx.shape
     contrib = fine_values[:, None, :] * link.corner_bary[..., None]
     flat = contrib.reshape(cf * dp1, -1)
     ids = link.corner_idx.reshape(-1)
     return jax.ops.segment_sum(flat, ids, num_segments=coarse_cap)
+
+
+def _splat_sorted_impl(fine_values, src, w, dst, tailpos, live):
+    from . import seq_lattice as sl
+    rows = fine_values[src] * w[:, None]
+    if sl._use_pallas_scans():
+        from . import pallas_scan as ps
+        scanned = ps.sorted_segment_scan(dst, rows, "sum")
+    else:
+        head = jnp.concatenate([jnp.ones((1,), bool), dst[1:] != dst[:-1]])
+        scanned = sl._seg_sum_rows(head, rows)
+    return scanned[tailpos] * live[:, None]
+
+
+@jax.custom_vjp
+def _splat_sorted(fine_values, src, w, dst, tailpos, live,
+                  corner_idx, corner_bary):
+    return _splat_sorted_impl(fine_values, src, w, dst, tailpos, live)
+
+
+def _splat_sorted_fwd(fine_values, src, w, dst, tailpos, live,
+                      corner_idx, corner_bary):
+    out = _splat_sorted_impl(fine_values, src, w, dst, tailpos, live)
+    return out, (corner_idx, corner_bary, w, fine_values)
+
+
+def _splat_sorted_bwd(res, d_out):
+    """The splat is linear in fine_values; its exact transpose is the
+    barycentric slice (slice_to_fine): a gather, never a scatter."""
+    corner_idx, corner_bary, w, fine_values = res
+    g = d_out[corner_idx]                                  # (Cf, d+1, C)
+    d_fine = jnp.einsum("fvc,fv->fc", g, corner_bary)
+    return (d_fine, None, jnp.zeros_like(w), None, None, None, None,
+            jnp.zeros_like(corner_bary))
+
+
+_splat_sorted.defvjp(_splat_sorted_fwd, _splat_sorted_bwd)
 
 
 def slice_to_fine(coarse_values: jax.Array, link: LevelLink) -> jax.Array:

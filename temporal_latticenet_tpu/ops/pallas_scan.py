@@ -219,3 +219,127 @@ def sorted_segment_max_u32(head_count: jax.Array, packed: jax.Array,
     xi = jax.lax.bitcast_convert_type(packed ^ flip, jnp.int32)
     oi = sorted_segment_max_i32(head_count, xi, tile, interpret)
     return jax.lax.bitcast_convert_type(oi, jnp.uint32) ^ flip
+
+
+# ---------------------------------------------------------------------------
+# Generalised one-pass segmented scan (sum / max / copy-first) for SMALL
+# channel counts: G = 128 // C consecutive rows are lane-packed into one
+# 128-lane vector row, so the VPU always runs at full width (a bare C=4
+# would idle 97% of the lanes).  Used by the union's in-sort mean
+# (_seg_sum_rows: (Q, 4) f32) and birth propagation.
+# ---------------------------------------------------------------------------
+
+_COMBINE = {
+    "sum": (lambda a, b: a + b, 0),
+    "max": (jnp.maximum, INT_MIN),
+    # "first": a run's HEAD value propagates forward (the up/earlier value
+    # replaces; see _seg_copy_head) -- identity irrelevant (fresh pad runs)
+    "first": (lambda a, b: b, 0),
+}
+
+
+def _seg_scan_kernel_lanes(hcl_ref, x_ref, out_ref, carry_ref, prev_hc_ref,
+                           rows: int, c: int, mode: str):
+    """One grid step: (rows, 128) block = rows*G original rows, where
+    G = 128 // c.  ``hcl`` carries each original row's run id replicated
+    across its C lanes.  Phase 1 scans along lanes (within a packed row),
+    phase 2 doubles down sublanes folding the packed row's LAST original
+    row, phase 3 folds the previous tile's carry."""
+    from jax.experimental import pallas as pl
+
+    comb, _ident = _COMBINE[mode]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref[:]) if mode != "max" \
+            else jnp.full_like(carry_ref[:], INT_MIN)
+        prev_hc_ref[0, 0] = -1
+
+    x = x_ref[:]                                   # (rows, 128)
+    hcl = hcl_ref[:]                               # (rows, 128) run ids
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    rows_i = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+
+    # phase 1: Hillis-Steele along the lane axis, step = c, 2c, ...
+    step = c
+    while step < 128:
+        x_up = pltpu_roll_lanes(x, step)
+        hc_up = pltpu_roll_lanes(hcl, step)
+        same = (hc_up == hcl) & (lanes >= step)
+        x = jnp.where(same, comb(x_up, x) if mode != "first" else x_up, x)
+        step *= 2
+
+    # phase 2: doubling down sublanes; fold each packed row's LAST original
+    # row (lanes [128-c:128] now hold its inclusive running value)
+    last_ids = hcl[:, 127:]                        # (rows, 1)
+    g = 128 // c
+    step = 1
+    while step < rows:
+        xl = x[:, 128 - c:]
+        xh = jnp.concatenate([xl] * g, axis=1)     # tile to all lane groups
+        x_up = pltpu_roll(xh, step)
+        id_up = pltpu_roll(last_ids, step)
+        same = (id_up == hcl) & (rows_i >= step)
+        x = jnp.where(same, comb(x_up, x) if mode != "first" else x_up, x)
+        step *= 2
+
+    # phase 3: previous tile's carry (its last original row's value + id)
+    carr = carry_ref[:]                            # (1, c)
+    cfull = jnp.concatenate([carr] * g, axis=1)
+    cont = hcl == prev_hc_ref[0, 0]
+    x = jnp.where(cont, comb(cfull, x) if mode != "first" else cfull, x)
+
+    out_ref[:] = x
+    carry_ref[:] = x[-1:, 128 - c:]
+    prev_hc_ref[0, 0] = hcl[rows - 1, 127]
+
+
+def sorted_segment_scan(head_count: jax.Array, x: jax.Array, mode: str,
+                        rows: int = 512, interpret: bool = False):
+    """Inclusive segmented scan (``mode`` in sum/max/first) over contiguous
+    runs, ONE pass over the data.
+
+    Args:
+      head_count: (Q,) int32 nondecreasing run ids.
+      x: (Q, C) with C a power of two <= 128 dividing 128; f32 for sum /
+        first, i32 for max.
+    Returns (Q, C) inclusive segmented running scan.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, c = x.shape
+    assert 128 % c == 0, c
+    g = 128 // c
+    chunk = rows * g                                # original rows per block
+    if q % chunk != 0:
+        pad = chunk - q % chunk
+        big = head_count[-1] + jnp.arange(1, pad + 1, dtype=jnp.int32)
+        _, ident = _COMBINE[mode]
+        x = jnp.concatenate(
+            [x, jnp.full((pad, c), ident, x.dtype)], axis=0)
+        head_count = jnp.concatenate([head_count, big], axis=0)
+        return sorted_segment_scan(head_count, x, mode, rows,
+                                   interpret)[:q]
+
+    qp = q // g
+    # per-LANE run ids: replicate each row's id across its c lanes
+    hcl = jnp.repeat(head_count.astype(jnp.int32).reshape(qp, g), c, axis=1)
+    out = pl.pallas_call(
+        functools.partial(_seg_scan_kernel_lanes, rows=rows, c=c, mode=mode),
+        grid=(qp // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, 128), x.dtype),
+        scratch_shapes=[pltpu.VMEM((1, c), x.dtype),
+                        pltpu.SMEM((1, 1), jnp.int32)],
+        interpret=interpret,
+    )(hcl, x.reshape(qp, 128))
+    return out.reshape(q, c)

@@ -32,6 +32,7 @@ from . import permutohedral as pm
 from .vertex_table import (PACKED_SENTINEL, SENTINEL, pack_keys, unpack_keys)
 from .mxu_lookup import mxu_lookup_select
 from .lattice_ops import LevelLink, NeighborTable
+from .lattice_ops import augment_link_sorted as lo_augment_link_sorted
 
 
 @flax.struct.dataclass
@@ -122,8 +123,13 @@ def _blocked_seg_scan(comb, head: jax.Array, val: jax.Array,
 
 def _blocked_cumsum(x: jax.Array, block: int = 128) -> jax.Array:
     """Blocked 1-D cumsum: log2(block) data passes instead of log2(Q)
-    (same rationale as :func:`_blocked_seg_scan`)."""
+    (same rationale as :func:`_blocked_seg_scan`); ONE pass via the Pallas
+    scan kernel on accelerators (ids all-zero = a single run)."""
     q = x.shape[0]
+    if _use_pallas_scans() and q >= 1 << 16:
+        from . import pallas_scan as ps
+        ids = jnp.zeros((q,), jnp.int32)
+        return ps.sorted_segment_scan(ids, x[:, None], "sum")[:, 0]
     nb = q // block
     if nb * block != q or nb < 2:
         return jnp.cumsum(x)
@@ -132,11 +138,26 @@ def _blocked_cumsum(x: jax.Array, block: int = 128) -> jax.Array:
     return (inner + carry[:, None]).reshape(q)
 
 
+def _use_pallas_scans() -> bool:
+    """One-pass Pallas segmented scans on accelerators; the blocked
+    associative_scan fallback elsewhere (CPU tests, interpreters).
+    TLN_PALLAS_SCANS=0 forces the fallback everywhere (A/B knob)."""
+    import os
+    if os.environ.get("TLN_PALLAS_SCANS", "1") == "0":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def _seg_copy_head(head: jax.Array, val: jax.Array) -> jax.Array:
     """Propagate each run head's value across its (contiguous) run.
 
     Standard segmented scan: result[i] = val at the last head position <= i.
     """
+    if _use_pallas_scans():
+        from . import pallas_scan as ps
+        ids = _blocked_cumsum(head.astype(jnp.int32))
+        return ps.sorted_segment_scan(ids, val[:, None], "first")[:, 0]
+
     def comb(a, b):
         fa, va = a
         fb, vb = b
@@ -146,6 +167,11 @@ def _seg_copy_head(head: jax.Array, val: jax.Array) -> jax.Array:
 
 def _seg_sum_rows(head: jax.Array, val: jax.Array) -> jax.Array:
     """Segmented inclusive row sum: resets where ``head``.  val (Q, K)."""
+    if _use_pallas_scans():
+        from . import pallas_scan as ps
+        ids = _blocked_cumsum(head.astype(jnp.int32))
+        return ps.sorted_segment_scan(ids, val, "sum")
+
     def comb(a, b):
         fa, va = a
         fb, vb = b
@@ -516,7 +542,11 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
 
         corner_idx = c_row_idx.reshape(cap_f, dp1)
         corner_bary = jnp.where(valid_f[:, None] & (corner_idx > 0), cbary, 0.0)
-        links.append(LevelLink(corner_idx=corner_idx, corner_bary=corner_bary))
+        # dst-sorted splat view: built once per sequence, reused by every
+        # frame's coarsen (lattice_ops.splat_to_coarse fast path)
+        links.append(lo_augment_link_sorted(
+            LevelLink(corner_idx=corner_idx, corner_bary=corner_bary),
+            cap_c))
 
         lvl, _ = _build_level(packed_c, birth_c, counts_c, t_frames)
         levels.append(lvl)

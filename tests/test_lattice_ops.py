@@ -329,3 +329,36 @@ def test_gather8_sym_vjp_matches_plain_gather(rng):
     # symmetric adjoint and masked upstream in the real model
     np.testing.assert_allclose(np.asarray(g1)[1:], np.asarray(g2)[1:],
                                rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_splat_matches_scatter_and_grads(rng):
+    """r3: the dst-sorted coarsen splat (gather + segmented sum + tail
+    gather) must equal the scatter-add path in values AND in the gradient
+    w.r.t. fine values (its VJP is the barycentric slice)."""
+    pos = _cloud(rng, 256, scale=2.0)
+    fine = vt.make_table(2048, 3)
+    fine, _ = lo.distribute(fine, pos, jnp.ones(256, bool), SIGMA)
+    coarse = vt.make_table(1024, 3)
+    coarse, link = lo.grow_coarse_table(fine, coarse)
+
+    c = 8
+    vals = jnp.asarray(rng.normal(size=(2048, c)).astype(np.float32))
+    vals = lo.mask_rows(vals, fine.count)
+
+    plain = lo.splat_to_coarse(vals, link, 1024)
+    link_s = lo.augment_link_sorted(link, 1024)
+    assert link_s.sorted_src is not None
+    fast = lo.splat_to_coarse(vals, link_s, 1024)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(plain),
+                               atol=1e-4)
+
+    def loss_plain(v):
+        return (lo.splat_to_coarse(v, link, 1024) ** 2).sum()
+
+    def loss_fast(v):
+        return (lo.splat_to_coarse(v, link_s, 1024) ** 2).sum()
+
+    g_plain = jax.grad(loss_plain)(vals)
+    g_fast = jax.grad(loss_fast)(vals)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_plain),
+                               atol=1e-3, rtol=1e-4)

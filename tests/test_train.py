@@ -277,8 +277,8 @@ def test_batched_pointnet_matches_per_frame(rng):
     same sequence logits as the per-frame path."""
     from tests.test_model import _frames
     cfg = tiny_cfg()
-    rt_off = TINY_RT
     import dataclasses
+    rt_off = dataclasses.replace(TINY_RT, batched_pointnet=False)
     rt_on = dataclasses.replace(TINY_RT, batched_pointnet=True)
 
     model_off, state0, _ = engine.create_train_state(cfg, rt_off, 1e-3, 0.0)
