@@ -42,7 +42,14 @@ TRAIN_TO_RAW = {9: 40, 13: 50, 16: 71, 18: 80, 1: 10, 6: 30, 20: 252,
 SCALES = {
     # name: (n_beams, n_az, max_points, cap0, min_cap)
     "full": (64, 2048, 131072, 49152, 8192),
-    "small": (64, 512, 32768, 16384, 4096),
+    # medium: dense enough azimuth sweep (0.12 m column spacing at 20 m)
+    # that pedestrian-sized actors return multiple columns per scan
+    "medium": (64, 1024, 65536, 24576, 6144),
+    # small caps 32768/16384/8192: measured worst-case union occupancy of
+    # the v3 moving worlds is 27.6k/14.0k/5.9k (coarse-level occupancy
+    # shrinks with swept AREA, not point count, so it stays near the
+    # full-scale figures; dynamic actors sweep extra union cells)
+    "small": (64, 512, 32768, 32768, 8192),
     "smoke": (16, 256, 4096, 4096, 1024),
 }
 
@@ -135,11 +142,15 @@ def write_moving_world(root, seq, n_scans, n_beams, n_az, moving, seed,
         _make_actors, _make_world, _raycast_scan, _static_counterparts)
     wrng = np.random.default_rng(seed)
     rng = np.random.default_rng(seed + 1)
-    world = _make_world(wrng)
+    # moving worlds: cars exist ONLY as actors + matched parked
+    # counterparts (no background car population with its different
+    # spatial distribution -- see lidar_like._make_world)
+    world = _make_world(wrng, include_cars=not moving)
     actors = None
     if moving:
-        actors = _make_actors(wrng, 12, 10)
-        sc, sr, sh, scls = _static_counterparts(wrng, 12, 10)
+        actors = _make_actors(wrng, 16, 12)
+        sc, sr, sh, scls = _static_counterparts(wrng, 16, 12,
+                                                smear_scans=n_scans)
         world = (np.concatenate([world[0], sc]),
                  np.concatenate([world[1], sr]),
                  np.concatenate([world[2], sh]),
@@ -216,7 +227,8 @@ def main():
     data = os.path.join(root, "data")
     stamp = os.path.join(data, "GENERATED.json")
     want = {"worlds": args.worlds, "scans": args.scans, "beams": beams,
-            "n_az": n_az, "moving": args.moving, "refl": "material-v2"}
+            "n_az": n_az, "moving": args.moving,
+            "refl": "material-v2", "geom": "actor-only-cars-v3"}
     if args.fresh_data or not (os.path.exists(stamp)
                                and json.load(open(stamp)) == want):
         t0 = time.perf_counter()

@@ -51,15 +51,27 @@ def material_class(lbl: np.ndarray) -> np.ndarray:
                     np.where(lbl == CLASS_MOVING_PERSON, CLASS_PERSON, lbl))
 
 
-def _make_world(rng: np.random.Generator, radius: float = 90.0):
-    """Procedural world: vertical cylinders with a type-dependent size."""
+def _make_world(rng: np.random.Generator, radius: float = 90.0,
+                include_cars: bool = True):
+    """Procedural world: vertical cylinders with a type-dependent size.
+
+    ``include_cars=False`` drops the background car population: the
+    moving-class experiment needs EVERY car drawn from the actor spawn
+    distribution (movers and parked counterparts alike), otherwise the
+    distribution difference — background cars spread over the full radius
+    and excluded from the ego corridor, actors central — hands a
+    single-frame model a spatial prior on moving-vs-static (observed r3:
+    a frames=1 model scored 0.54 valid IoU on moving-car by exploiting
+    exactly this before the fix).
+    """
     specs = [
         # (count, r_lo, r_hi, h_lo, h_hi, class)
         (24, 3.0, 8.0, 5.0, 15.0, CLASS_BUILDING),
         (30, 0.15, 0.45, 2.0, 8.0, CLASS_TRUNK),
         (20, 0.05, 0.15, 3.0, 7.0, CLASS_POLE),
-        (26, 0.8, 1.3, 1.2, 1.8, CLASS_CAR),
     ]
+    if include_cars:
+        specs.append((26, 0.8, 1.3, 1.2, 1.8, CLASS_CAR))
     centers, radii, heights, classes = [], [], [], []
     for count, r_lo, r_hi, h_lo, h_hi, cls in specs:
         c = (rng.random((count, 2)) - 0.5) * 2 * radius
@@ -111,10 +123,21 @@ def _make_actors(rng: np.random.Generator, n_cars: int, n_peds: int):
             np.concatenate(vels).astype(np.float32))
 
 
-def _static_counterparts(rng: np.random.Generator, n_cars: int, n_peds: int):
+def _static_counterparts(rng: np.random.Generator, n_cars: int, n_peds: int,
+                         smear_scans: int = 0):
     """Parked cars / standing pedestrians with the same geometry and spawn
-    distributions as the movers, so motion is the ONLY separating signal."""
-    c, r, h, cls, _ = _make_actors(rng, n_cars, n_peds)
+    distributions as the movers, so motion is the ONLY separating signal.
+
+    ``smear_scans > 0`` displaces each counterpart by ``v * u`` with a
+    mover-distributed velocity ``v`` and ``u ~ U[0, smear_scans)``: the
+    counterparts' spatial distribution then matches the movers' marginal
+    over the episode, not just their scan-0 spawn (movers spread as they
+    travel; un-smeared counterparts would stay tight, a weak single-frame
+    position cue)."""
+    c, r, h, cls, v = _make_actors(rng, n_cars, n_peds)
+    if smear_scans:
+        u = rng.uniform(0.0, smear_scans, len(c)).astype(np.float32)
+        c = c + v * u[:, None]
     cls = np.where(cls == CLASS_MOVING_CAR, CLASS_CAR, CLASS_PERSON)
     return c, r, h, cls.astype(np.int32)
 
@@ -212,12 +235,14 @@ def lidar_sequence(rng: np.random.Generator, frames: int, max_points: int,
     between the static and moving variants of a class.
     """
     wrng = rng if world_seed is None else np.random.default_rng(world_seed)
-    world = _make_world(wrng)
+    moving = bool(moving_cars or moving_peds)
+    world = _make_world(wrng, include_cars=not moving)
     actors = None
-    if moving_cars or moving_peds:
+    if moving:
         actors = _make_actors(wrng, moving_cars, moving_peds)
         sc, sr, sh, scls = _static_counterparts(wrng, moving_cars,
-                                                moving_peds)
+                                                moving_peds,
+                                                smear_scans=frames)
         world = (np.concatenate([world[0], sc]),
                  np.concatenate([world[1], sr]),
                  np.concatenate([world[2], sh]),

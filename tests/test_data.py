@@ -268,3 +268,27 @@ def test_lidar_like_moving_has_no_single_frame_leak():
         cents.append(p[t][sel][:, :2].mean(axis=0))
     deltas = [np.linalg.norm(cents[t + 1] - cents[t]) for t in range(3)]
     assert max(deltas) > 0.3
+
+    # no spatial prior either (r3 fix): moving worlds have NO background
+    # car population, and counterpart spawn distributions match the
+    # movers' episode marginal.
+    from temporal_latticenet_tpu.data.lidar_like import (
+        _make_actors, _make_world, _static_counterparts)
+    w = _make_world(np.random.default_rng(0), include_cars=False)
+    assert not np.any(w[3] == CLASS_CAR)
+
+    g1, g2 = np.random.default_rng(1), np.random.default_rng(2)
+    n_scans = 8
+    mov_c, mov_v = [], []
+    for _ in range(50):
+        c, _, _, cls, v = _make_actors(g1, 40, 0)
+        # mover positions pooled over the episode = their spatial marginal
+        for s in range(n_scans):
+            mov_c.append(c + v * s)
+    cnt_c = [
+        _static_counterparts(g2, 40, 0, smear_scans=n_scans)[0]
+        for _ in range(50)]
+    mov_c = np.concatenate(mov_c)
+    cnt_c = np.concatenate(cnt_c)
+    assert np.allclose(mov_c.mean(0), cnt_c.mean(0), atol=1.0)
+    assert np.allclose(mov_c.std(0), cnt_c.std(0), rtol=0.1)
