@@ -117,7 +117,8 @@ loader_semantic_kitti: {{
     shuffle_points: false
     do_pose: true
     nr_clouds_to_skip: 0
-    nr_clouds_to_read: {n_scans}
+    nr_clouds_to_read: -1
+    measure_sequence_lengths: true
     cap_distance: -1
     min_distance: -1
     normalize: false
@@ -126,8 +127,19 @@ loader_semantic_kitti: {{
     debug_loader: false
     seq_same_cloud: false
     label_mngr: {{ unlabeled_idx: 0 }}
-    transformer: {{ }}
+    transformer: {{ {aug} }}
 }}
+"""
+
+# the reference's train-time augmentation (lnn_train_semantic_kitti.cfg:118-
+# 133): vertical-axis rotation/mirrors/90-degree spins + xz translation,
+# drawn once per sequence window
+AUG_BLOCK = """
+        random_translation_xz_magnitude: 20.0
+        rotation_y_max_angle: 10.0
+        random_mirror_x: true
+        random_mirror_z: true
+        random_rotation_90_degrees_y: true
 """
 
 # KITTI split convention (data/kitti_meta.py): 00-07,09,10 train; 08 valid
@@ -208,6 +220,8 @@ def main():
     ap.add_argument("--scans", type=int, default=10, help="scans per world")
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--scope", type=int, default=1)
+    ap.add_argument("--aug", type=int, default=0,
+                    help="1 = reference train-time augmentation (AUG_BLOCK)")
     ap.add_argument("--scale", choices=tuple(SCALES), default="small")
     ap.add_argument("--root", type=str, default="")
     ap.add_argument("--out", type=str, default="")
@@ -223,6 +237,12 @@ def main():
     enable_compile_cache()
 
     beams, n_az, max_points, cap0, min_cap = SCALES[args.scale]
+    if args.variant == "accum":
+        # the accumulated cloud holds the whole 4-scan window; without the
+        # larger budget the loader's drop-oldest would silently cut the
+        # baseline down to ~1 scan.  Union occupancy is unchanged (same
+        # union of scans), so capacities stay.
+        max_points *= 4
     root = args.root or f"/tmp/train_lidar_{args.scale}_m{args.moving}"
     data = os.path.join(root, "data")
     stamp = os.path.join(data, "GENERATED.json")
@@ -254,8 +274,8 @@ def main():
             epochs=args.epochs, restart_epochs=max(args.epochs // 3, 5),
             cap=cap0, ckpt=ckpt_dir, preds=preds, data=data,
             max_points=max_points, min_cap=min_cap, scope=args.scope,
-            seq_learning=seq_learning, rnn_modules=rnn, accum=accum,
-            n_scans=args.scans))
+            aug=AUG_BLOCK if args.aug else "",
+            seq_learning=seq_learning, rnn_modules=rnn, accum=accum))
 
     from temporal_latticenet_tpu.train import loop as tloop
 
@@ -271,6 +291,7 @@ def main():
 
     results = {"variant": args.variant, "moving": args.moving,
                "worlds": args.worlds, "scans": args.scans,
+               "train_windows_per_epoch": args.worlds * args.scans,
                "epochs": args.epochs, "scale": args.scale,
                "scope": args.scope, "train_wall_s": train_s,
                "checkpoint": latest}

@@ -130,6 +130,19 @@ class SemanticKittiDataset:
         self.remap_lut = kitti_meta.build_remap_lut(self.include_moving)
         self.split_seqs = kitti_meta.SPLIT
         self.dataset_lengths = list(kitti_meta.SPLIT_LENGTHS[split])
+        if lc.get("measure_sequence_lengths", False):
+            # count scans actually on disk instead of trusting the official
+            # SPLIT_LENGTHS table (kitti_dataloader.py:49's hardcoded
+            # counts).  Needed for synthetic/partial datasets: with the
+            # official lengths a small nr_clouds_to_read maps every index
+            # into sequence 00 and the remaining sequences are never read.
+            self.dataset_lengths = []
+            for s in self.split_seqs[split]:
+                d = os.path.join(self.data_dir, "sequences", f"{int(s):02d}",
+                                 "velodyne")
+                self.dataset_lengths.append(
+                    len([f for f in os.listdir(d) if f.endswith(".bin")])
+                    if os.path.isdir(d) else 0)
 
         self.nr_clouds_to_read = lc.get("nr_clouds_to_read", -1)
         self.nr_clouds_to_skip = lc.get("nr_clouds_to_skip", 0)

@@ -93,6 +93,40 @@ def test_sequence_window_and_alignment(mini_kitti):
         assert frames[i].labels[1] == 1 and frames[i].labels[0] == 20
 
 
+def test_measure_sequence_lengths(tmp_path):
+    """`measure_sequence_lengths: true` must size the index space from the
+    scans actually on disk — with the official SPLIT_LENGTHS (4541 for seq
+    00) a small synthetic multi-world dataset would map EVERY index into
+    sequence 00 and silently never read the other worlds."""
+    n_scans = {0: 5, 1: 3}
+    eye = "1 0 0 0 0 1 0 0 0 0 1 0"
+    for s, n in n_scans.items():
+        seq_dir = tmp_path / "sequences" / f"{s:02d}"
+        (seq_dir / "velodyne").mkdir(parents=True)
+        (seq_dir / "labels").mkdir()
+        with open(seq_dir / "calib.txt", "w") as f:
+            f.write(f"P0: {eye}\nTr: {eye}\n")
+        with open(seq_dir / "poses.txt", "w") as f:
+            for i in range(n):
+                f.write(f"1 0 0 0 0 1 0 0 0 0 1 0\n")
+                pts = np.full((4, 4), float(s), np.float32)
+                pts.tofile(seq_dir / "velodyne" / f"{i:06d}.bin")
+                np.full(4, 10, np.uint32).tofile(
+                    seq_dir / "labels" / f"{i:06d}.label")
+    ds = SemanticKittiDataset(
+        "train", _loader_config(tmp_path, measure_sequence_lengths=True,
+                                frames_per_seq=2, cloud_scope=1,
+                                do_pose=False), {},
+        sequence_learning=True, max_points=8)
+    assert ds.dataset_lengths == [5, 3] + [0] * 8
+    assert len(ds) == 8
+    seqs_seen = {ds._locate(i)[0] for i in range(len(ds))}
+    assert seqs_seen == {0, 1}
+    # the last index really reads sequence 01's data (positions == 1.0)
+    frames = ds[7]
+    assert frames[-1].positions[0, 0] == 1.0
+
+
 def test_window_clamped_at_sequence_start(mini_kitti):
     tmp_path, _ = mini_kitti
     ds = SemanticKittiDataset("valid", _loader_config(tmp_path), {},

@@ -186,6 +186,53 @@ def test_data_parallel_flagship_channels(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
+def test_data_parallel_realistic_lidar_shapes(rng):
+    """VERDICT r2 weak 6: the 8-device DP step on REALISTIC geometry --
+    ray-cast LiDAR scans (thousands of points each, real occupancy
+    statistics), flagship architecture -- must agree with the unsharded
+    step.  Complements test_data_parallel_flagship_channels, which covers
+    the flagship channel widths on toy clouds."""
+    from temporal_latticenet_tpu.parallel import mesh as pmesh
+    from temporal_latticenet_tpu.config import ModelConfig
+    from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
+
+    b, t, p = 8, 2, 2048
+    pos = np.zeros((b, t, p, 3), np.float32)
+    val = np.zeros((b, t, p, 1), np.float32)
+    lab = np.zeros((b, t, p), np.int32)
+    msk = np.zeros((b, t, p), bool)
+    for bi in range(b):
+        pp, vv, ll, mm = lidar_sequence(
+            np.random.default_rng(100 + bi), t, p, n_beams=16, n_az=128)
+        pos[bi], val[bi], lab[bi], msk[bi] = pp, vv, ll, mm
+    batch = engine.SeqBatch(jnp.asarray(pos), jnp.asarray(val),
+                            jnp.asarray(lab), jnp.asarray(msk))
+
+    cfg = ModelConfig(nr_classes=26,
+                      rnn_modules=("gru", "gru", "aflow", "gru"),
+                      frames_per_seq=t)
+    rt = RuntimeConfig(max_points=p, capacity_level0=2048,
+                       capacity_decay=0.5, min_capacity=512, sigma=0.6)
+
+    model, state0, tx = engine.create_train_state(cfg, rt, 1e-3, 1e-3)
+    train_step, _ = engine.make_train_step(model, cfg, rt, tx)
+
+    s1, _, m1 = train_step(state0, batch, 1.0)
+
+    m = pmesh.make_mesh(8)
+    sharded = pmesh.shard_batch(m, batch)
+    state_r = engine.TrainState(pmesh.replicate(m, state0.params),
+                                pmesh.replicate(m, state0.opt_state),
+                                state0.step)
+    s2, _, m2 = train_step(state_r, sharded, 1.0)
+
+    assert np.isfinite(float(m1["loss"]))
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+    for a, b2 in zip(jax.tree_util.tree_leaves(s1.params),
+                     jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=2e-4)
+
+
 def test_streaming_batched_matches_single_stream(rng):
     """VERDICT r2 item 6: B concurrent serving streams sharded over the
     8-device dp mesh must produce per-stream outputs equal to the
