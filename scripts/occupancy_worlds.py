@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--worlds", type=int, default=2)
     ap.add_argument("--stride", type=int, default=3,
                     help="probe every stride-th window (CPU unions are slow)")
+    ap.add_argument("--cap0", type=int, default=0,
+                    help="override level-0 probe capacity (a saturated probe"
+                         " hides the true occupancy)")
+    ap.add_argument("--min-cap", type=int, default=0)
     args = ap.parse_args()
 
     from train_lidar import SCALES, write_moving_world
@@ -40,6 +44,8 @@ def main():
     from temporal_latticenet_tpu.ops import seq_lattice as sl
 
     beams, n_az, max_points, cap0, min_cap = SCALES[args.scale]
+    cap0 = args.cap0 or cap0
+    min_cap = args.min_cap or min_cap
     rt = RuntimeConfig(max_points=max_points, capacity_level0=cap0,
                        capacity_decay=0.5, min_capacity=min_cap, sigma=0.6)
     caps = rt.capacities(2)

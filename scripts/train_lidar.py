@@ -43,8 +43,11 @@ SCALES = {
     # name: (n_beams, n_az, max_points, cap0, min_cap)
     "full": (64, 2048, 131072, 49152, 8192),
     # medium: dense enough azimuth sweep (0.12 m column spacing at 20 m)
-    # that pedestrian-sized actors return multiple columns per scan
-    "medium": (64, 1024, 65536, 24576, 6144),
+    # that pedestrian-sized actors return multiple columns per scan.
+    # caps 49152/24576/12288: measured worst-case moving=0 union occupancy
+    # is 38.4k/17.0k/7.0k (scripts/occupancy_worlds.py --scale medium; the
+    # previous 24576/12288/6144 SATURATED levels 0-1 = silent vertex drops)
+    "medium": (64, 1024, 65536, 49152, 12288),
     # small caps 32768/16384/8192: measured worst-case union occupancy of
     # the v3 moving worlds is 27.6k/14.0k/5.9k (coarse-level occupancy
     # shrinks with swept AREA, not point count, so it stays near the

@@ -76,6 +76,19 @@ def scale_factors(d: int) -> np.ndarray:
     return (inv_std_dev / np.sqrt((j + 1) * (j + 2))).astype(np.float32)
 
 
+def scale_positions(positions: jax.Array, sigma) -> jax.Array:
+    """The pre-elevation scaling ``y = (positions / sigma) * scale_factors``.
+
+    Factored out so the fused Pallas candidate kernel
+    (ops/pallas_simplex.py) can compute it with the EXACT same jnp
+    expression as :func:`elevate` -- a division by a constant is subject
+    to context-dependent strength reduction, so doing it inside the kernel
+    is not bit-stable against this path."""
+    d = positions.shape[-1]
+    s = jnp.asarray(scale_factors(d))
+    return (positions / sigma).astype(jnp.float32) * s
+
+
 def elevate(positions: jax.Array, sigma: jax.Array | float) -> jax.Array:
     """Embed (N, d) positions into the (N, d+1) hyperplane.
 
@@ -83,8 +96,7 @@ def elevate(positions: jax.Array, sigma: jax.Array | float) -> jax.Array:
     sigma => coarser lattice.  May be a scalar or a (d,) vector.
     """
     d = positions.shape[-1]
-    s = jnp.asarray(scale_factors(d))
-    y = (positions / sigma).astype(jnp.float32) * s
+    y = scale_positions(positions, sigma)
     # Elementwise form, NOT a matmul: the result is rounded to integer
     # lattice keys so it needs full f32 precision, and a tiny-K
     # HIGHEST-precision dot lowers pathologically on TPU (measured 30 ms

@@ -148,6 +148,16 @@ def _use_pallas_scans() -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _use_pallas_simplex() -> bool:
+    """Fused elevate+simplex+pack kernel (ops/pallas_simplex.py) on
+    accelerators; bit-exact with the jnp path (tested), gated separately
+    for A/B (TLN_PALLAS_SIMPLEX=0)."""
+    import os
+    if os.environ.get("TLN_PALLAS_SIMPLEX", "1") == "0":
+        return False
+    return jax.default_backend() not in ("cpu",)
+
+
 def _seg_copy_head(head: jax.Array, val: jax.Array) -> jax.Array:
     """Propagate each run head's value across its (contiguous) run.
 
@@ -481,15 +491,24 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
     dp1 = 4
     cap0 = capacities[0]
 
-    elevated = pm.elevate(positions.reshape(t_frames * p, 3), sigma)
-    keys, bary = pm.find_enclosing_simplex(elevated)       # (T*P, 4, 3)
-    keys = keys.reshape(t_frames, p * dp1, 3)
-    bary = bary.reshape(t_frames, p * dp1)
     rvalid = jnp.repeat(mask, dp1, axis=1)                 # (T, P*4)
+    sigma_static = not isinstance(sigma, jax.core.Tracer)
+    if _use_pallas_simplex() and sigma_static:
+        # one fused pass: no (T*P, 4, 3) keys tensor, no separate pack
+        from .pallas_simplex import fused_simplex_pack
+        packed4, bary4 = fused_simplex_pack(
+            positions.reshape(t_frames * p, 3), mask.reshape(-1), sigma)
+        cand_packed = packed4.reshape(-1)
+        bary = bary4.reshape(t_frames, p * dp1)
+    else:
+        elevated = pm.elevate(positions.reshape(t_frames * p, 3), sigma)
+        keys, bary = pm.find_enclosing_simplex(elevated)   # (T*P, 4, 3)
+        keys = keys.reshape(t_frames, p * dp1, 3)
+        bary = bary.reshape(t_frames, p * dp1)
 
-    flat_keys = jnp.where(rvalid.reshape(-1)[:, None],
-                          keys.reshape(-1, 3), SENTINEL)
-    cand_packed = pack_keys(flat_keys)
+        flat_keys = jnp.where(rvalid.reshape(-1)[:, None],
+                              keys.reshape(-1, 3), SENTINEL)
+        cand_packed = pack_keys(flat_keys)
     pos_rows = jnp.repeat(positions, dp1, axis=1)          # (T, P*4, 3)
 
     if subtract_local_mean:
