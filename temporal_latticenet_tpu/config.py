@@ -8,8 +8,10 @@ the compiled model consume; field names keep the reference's ``.cfg`` schema
 for parity (``rnn_modules``, ``sequence_learning``, ``accumulate_clouds``...).
 
 ``hjson`` is not available in this environment, so ``loads`` implements the
-subset the configs actually use: ``//`` and ``/* */`` comments, unquoted
-keys, optional commas, nested objects/arrays, strings/numbers/bools.
+subset the configs actually use plus hjson's extras users commonly reach
+for: ``//``/``#``/``/* */`` comments, unquoted keys, optional commas,
+nested objects/arrays, strings (double-, single-quoted, and ``'''``
+multiline), numbers/bools.
 """
 
 from __future__ import annotations
@@ -24,10 +26,11 @@ from typing import Any
 # ---------------------------------------------------------------------------
 
 _TOKEN_RE = re.compile(r"""
-    (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
-  | (?P<str>"(?:[^"\\]|\\.)*")
+    (?P<ws>\s+|//[^\n]*|\#[^\n]*|/\*.*?\*/)
+  | (?P<mstr>'''(?:[^']|'(?!''))*''')
+  | (?P<str>"(?:[^"\\]|\\.)*"|'(?:[^'\\]|\\.)*')
   | (?P<punct>[{}\[\]:,])
-  | (?P<word>[^\s{}\[\]:,"]+)
+  | (?P<word>[^\s{}\[\]:,"']+)
 """, re.VERBOSE | re.DOTALL)
 
 
@@ -64,6 +67,15 @@ class _Parser:
         if tok == "[":
             return self.parse_array()
         self.next()
+        if kind == "mstr":
+            # hjson multiline string: strip the quotes and the common
+            # leading whitespace (hjson trims to the opening-quote column;
+            # textwrap.dedent is the practical equivalent for our configs)
+            import textwrap
+            body = tok[3:-3]
+            if body.startswith("\n"):
+                body = body[1:]
+            return textwrap.dedent(body).rstrip("\n")
         if kind == "str":
             return tok[1:-1].encode().decode("unicode_escape")
         if tok in ("true", "True"):
