@@ -112,7 +112,7 @@ runtime: {{
 loader_semantic_kitti: {{
     dataset_path: "{data}"
     accumulate_clouds: {accum}
-    frames_per_seq: 4
+    frames_per_seq: {frames}
     cloud_scope: {scope}
     include_moving_classes: true
     sequences: "all"
@@ -225,6 +225,11 @@ def main():
     ap.add_argument("--scope", type=int, default=1)
     ap.add_argument("--aug", type=int, default=0,
                     help="1 = reference train-time augmentation (AUG_BLOCK)")
+    ap.add_argument("--rnn", type=str, default="",
+                    help="comma list overriding the temporal variant's rnn "
+                         "modules (e.g. gru,gru,gru,gru)")
+    ap.add_argument("--frames", type=int, default=4,
+                    help="frames per sequence window")
     ap.add_argument("--scale", choices=tuple(SCALES), default="small")
     ap.add_argument("--root", type=str, default="")
     ap.add_argument("--out", type=str, default="")
@@ -267,10 +272,21 @@ def main():
     preds = os.path.join(root, "preds")
     os.makedirs(ckpt_dir, exist_ok=True)
 
-    seq_learning = "true" if args.variant == "temporal" else "false"
+    # accum keeps sequence_learning TRUE: the loader only reads a
+    # frames_per_seq window when sequence_learning is on (reference
+    # semantics, kitti_dataloader.py:60) and accumulate_clouds collapses it
+    # to ONE concatenated frame -- with sequence_learning false the
+    # "accumulated" cloud is silently a single scan (a second static run).
+    # The rnn modules stay flagship so parameters match the temporal
+    # variant; with one frame they carry no temporal information.
+    seq_learning = "false" if args.variant == "static" else "true"
     accum = "true" if args.variant == "accum" else "false"
-    rnn = ('["gru", "gru", "aflow", "gru"]' if args.variant == "temporal"
-           else '["none", "none", "none", "none"]')
+    if args.variant in ("temporal", "accum"):
+        mods = (args.rnn.split(",") if args.rnn
+                else ["gru", "gru", "aflow", "gru"])
+    else:
+        mods = ["none"] * 4
+    rnn = "[" + ", ".join(f'"{m.strip()}"' for m in mods) + "]"
     cfg_path = os.path.join(root, f"cfg_{args.variant}.cfg")
     with open(cfg_path, "w") as f:
         f.write(CFG_TEMPLATE.format(
@@ -278,6 +294,7 @@ def main():
             cap=cap0, ckpt=ckpt_dir, preds=preds, data=data,
             max_points=max_points, min_cap=min_cap, scope=args.scope,
             aug=AUG_BLOCK if args.aug else "",
+            frames=args.frames if args.variant != "static" else 1,
             seq_learning=seq_learning, rnn_modules=rnn, accum=accum))
 
     from temporal_latticenet_tpu.train import loop as tloop

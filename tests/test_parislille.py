@@ -84,3 +84,117 @@ def test_parislille_windows_and_caching(mini_pl3d):
     np.testing.assert_array_equal(ds.start_end_list[0], ds2.start_end_list[0])
     f2 = ds2[2][-1]
     np.testing.assert_allclose(f.positions, f2.positions)
+
+
+PL_CFG = """
+core: {{ loguru_verbosity: 3 }}
+train: {{
+    dataset_name: "parislille"
+    batch_size: 1
+    scheduler: "CosineAnnealingWarmRestarts"
+    restart_epochs: 3
+    lr: 0.001
+    weight_decay: 1e-3
+    training_epochs: 1
+    with_viewer: false
+    with_visdom: false
+    with_wandb: false
+    save_checkpoint: false
+    checkpoint_path: "{ckpt}"
+    load_checkpoint: false
+    load_checkpoint_model: ""
+}}
+eval: {{
+    dataset_name: "parislille"
+    with_viewer: false
+    save_checkpoint: false
+    checkpoint_path: "{ckpt}"
+    load_checkpoint_model: ""
+    do_write_predictions: false
+    output_predictions_path: "{ckpt}"
+}}
+model: {{
+    positions_mode: "xyz"
+    values_mode: "reflectance"
+    pointnet_layers: [8, 16]
+    pointnet_start_nr_channels: 16
+    nr_downsamples: 2
+    nr_blocks_down_stage: [1, 1, 1]
+    nr_blocks_bottleneck: 1
+    nr_blocks_up_stage: [1, 1, 1]
+    nr_levels_down_with_normal_resnet: 3
+    nr_levels_up_with_normal_resnet: 3
+    compression_factor: 1.0
+    dropout_last_layer: 0.0
+    sequence_learning: true
+    rnn_modules: ["gru", "none", "none", "gru"]
+    train_alpha_beta: true
+    use_center: true
+    experiment: "none"
+}}
+lattice_gpu: {{ hash_table_capacity: 512  nr_sigmas: 1  sigma_0: "0.6 3" }}
+runtime: {{
+    max_points: 512
+    capacity_level0: 512
+    capacity_decay: 1.0
+    min_capacity: 256
+}}
+loader_paris_lille: {{
+    dataset_path: "{data}"
+    validation_cloud: "Lille2.ply"
+    include_moving_classes: false
+    accumulate_clouds: false
+    frames_per_seq: 2
+    cloud_scope: 1
+    shuffle_points: false
+    do_pose: true
+    nr_clouds_to_read: -1
+    nr_clouds_to_skip: 0
+    cap_distance: -1
+    subsample_percentage: 0.0
+    label_mngr: {{ unlabeled_idx: 0 }}
+    transformer: {{ }}
+}}
+"""
+
+
+def _write_pl_cloud(path, seed):
+    rng = np.random.default_rng(seed)
+    n = 3000
+    t = np.sort(rng.random(n) * 20)
+    fields = {
+        "x": (rng.normal(size=n) * 3 + t).astype(np.float32),
+        "y": rng.normal(size=n).astype(np.float32),
+        "z": (rng.random(n) * 2).astype(np.float32),
+        "x_origin": np.full(n, 5.0, np.float32),
+        "y_origin": np.zeros(n, np.float32),
+        "z_origin": np.zeros(n, np.float32),
+        "GPS_time": t.astype(np.float64),
+        "reflectance": rng.random(n).astype(np.float32),
+        "class": rng.choice([202020000, 203000000, 303040200, 0], n
+                            ).astype(np.uint32),
+    }
+    write_ply_vertices(str(path), fields)
+
+
+def test_parislille_end_to_end_train_and_eval(tmp_path):
+    """BASELINE config 6: a full (tiny) training run + eval through the real
+    loop on Paris-Lille-3D data -- train on Lille1, validate on Lille2,
+    driven by a parislille .cfg exactly like train_ln.py would.  The
+    reference REJECTS Paris-Lille training (train_ln.py:69); here it is a
+    first-class path."""
+    from temporal_latticenet_tpu.train import loop as tloop
+
+    data = tmp_path / "pl"
+    data.mkdir()
+    _write_pl_cloud(data / "Lille1.ply", 1)
+    _write_pl_cloud(data / "Lille2.ply", 2)
+    cfg_path = tmp_path / "pl.cfg"
+    cfg_path.write_text(PL_CFG.format(data=str(data), ckpt=str(tmp_path)))
+
+    state = tloop.run_training(str(cfg_path), max_steps=2)
+    assert state is not None
+
+    miou, phase = tloop.run_eval(str(cfg_path), split="valid", max_seqs=2)
+    assert np.isfinite(miou)
+    assert len(phase.scores.iou_per_class()) > 0
