@@ -25,8 +25,12 @@ def main():
                     default="lidar")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--remat", choices=("full", "selective", "none"),
-                    default="full",
-                    help="BPTT remat mode (engine.make_sequence_forward)")
+                    default="selective",
+                    help="BPTT remat mode (engine.make_sequence_forward). "
+                         "A/B on the real chip at this scale: full 1.017 "
+                         "s/step, selective 0.939, none 0.911; selective is "
+                         "the default because it keeps most of the speed "
+                         "while retaining remat headroom for longer windows")
     args = ap.parse_args()
 
     from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig

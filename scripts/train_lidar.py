@@ -108,6 +108,7 @@ runtime: {{
     capacity_level0: {cap}
     capacity_decay: 0.5
     min_capacity: {min_cap}
+    remat_mode: "{remat}"
 }}
 loader_semantic_kitti: {{
     dataset_path: "{data}"
@@ -231,6 +232,8 @@ def main():
     ap.add_argument("--frames", type=int, default=4,
                     help="frames per sequence window")
     ap.add_argument("--scale", choices=tuple(SCALES), default="small")
+    ap.add_argument("--remat", choices=("full", "selective", "none"),
+                    default="full", help="BPTT remat mode (runtime section)")
     ap.add_argument("--root", type=str, default="")
     ap.add_argument("--out", type=str, default="")
     ap.add_argument("--cpu", action="store_true")
@@ -295,7 +298,8 @@ def main():
             max_points=max_points, min_cap=min_cap, scope=args.scope,
             aug=AUG_BLOCK if args.aug else "",
             frames=args.frames if args.variant != "static" else 1,
-            seq_learning=seq_learning, rnn_modules=rnn, accum=accum))
+            seq_learning=seq_learning, rnn_modules=rnn, accum=accum,
+            remat=args.remat))
 
     from temporal_latticenet_tpu.train import loop as tloop
 

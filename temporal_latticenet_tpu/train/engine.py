@@ -211,10 +211,13 @@ def create_train_state(cfg: ModelConfig, rt: RuntimeConfig, lr: float,
 
 def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                     ignore_index: int = 0):
-    # remat: recompute per-frame activations in the BPTT backward; without it
-    # the saved conv neighborhoods overflow HBM at full SemanticKITTI scale.
+    # remat: recompute per-frame activations in the BPTT backward.
     # rt.remat_mode="selective" keeps cheap activations and recomputes only
-    # the rowified conv neighborhoods (A/B'd in scripts/train_bench.py).
+    # the rowified conv neighborhoods.  A/B at flagship LiDAR scale
+    # (scripts/train_bench.py --remat, real TPU): full 1.017 s/step,
+    # selective 0.939 s, none 0.911 s -- at the honest capacities even
+    # "none" fits in HBM on one chip, but remat headroom matters once
+    # longer windows (frames>4) or batching raise the activation footprint.
     seq_fwd = make_sequence_forward(model, cfg, rt,
                                     remat=getattr(rt, "remat_mode", "full")
                                     or "full")
