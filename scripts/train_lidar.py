@@ -71,8 +71,9 @@ train: {{
     with_wandb: false
     save_checkpoint: true
     checkpoint_path: "{ckpt}"
-    load_checkpoint: false
-    load_checkpoint_model: ""
+    load_checkpoint: {load_ckpt}
+    load_checkpoint_model: "{load_model}"
+    start_epoch: {start_epoch}
 }}
 eval: {{
     dataset_name: "semantickitti"
@@ -237,6 +238,10 @@ def main():
     ap.add_argument("--root", type=str, default="")
     ap.add_argument("--out", type=str, default="")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--resume", action="store_true",
+                    help="continue from the newest per-epoch checkpoint in "
+                         "this run's checkpoint dir (transient TPU-tunnel "
+                         "failures otherwise lose the whole run)")
     ap.add_argument("--fresh-data", action="store_true",
                     help="regenerate the on-disk worlds even if present")
     args = ap.parse_args()
@@ -275,6 +280,18 @@ def main():
     preds = os.path.join(root, "preds")
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    load_ckpt, load_model, start_epoch = "false", "", 0
+    if args.resume:
+        import re
+        done = sorted(
+            (int(m.group(1)), f) for f in os.listdir(ckpt_dir)
+            if (m := re.search(r"_epoch(\d+)\.ckpt$", f)))
+        if done:
+            last_epoch, load_model = done[-1]
+            load_ckpt, start_epoch = "true", last_epoch + 1
+            print(f"resuming from epoch {last_epoch} ({load_model})",
+                  flush=True)
+
     # accum keeps sequence_learning TRUE: the loader only reads a
     # frames_per_seq window when sequence_learning is on (reference
     # semantics, kitti_dataloader.py:60) and accumulate_clouds collapses it
@@ -299,7 +316,8 @@ def main():
             aug=AUG_BLOCK if args.aug else "",
             frames=args.frames if args.variant != "static" else 1,
             seq_learning=seq_learning, rnn_modules=rnn, accum=accum,
-            remat=args.remat))
+            remat=args.remat, load_ckpt=load_ckpt, load_model=load_model,
+            start_epoch=start_epoch))
 
     from temporal_latticenet_tpu.train import loop as tloop
 

@@ -145,13 +145,21 @@ def run_training(config_file: str, max_steps: int | None = None,
     phases = [Phase("train", datasets["train"], grad=True),
               Phase("valid", datasets["valid"], grad=False)]
 
+    # train.start_epoch: resume a crashed run from a per-epoch checkpoint
+    # (pair with load_checkpoint).  Offsets the epoch loop, checkpoint
+    # names, and the cosine-restarts schedule so the resumed run continues
+    # the original trajectory instead of restarting it.
+    start_epoch = int(train_cfg.get("start_epoch", 0))
+    for phase in phases:
+        phase.epoch_nr = start_epoch
+
     scheduler_kind = train_cfg.get("scheduler", "CosineAnnealingWarmRestarts")
     plateau = optim.ReduceLROnPlateau()
     restart_epochs = float(train_cfg.get("restart_epochs", 3))
     rng = np.random.default_rng(0)
     steps_done = 0
 
-    for epoch in range(int(train_cfg["training_epochs"])):
+    for epoch in range(start_epoch, int(train_cfg["training_epochs"])):
         for phase in phases:
             cb.epoch_started(phase=phase)
             order = _sequence_order(len(phase.loader),
