@@ -158,7 +158,40 @@ def test_run_training_and_eval(tiny_world):
     assert raw.shape[0] == 40
 
 
-def test_checkpoint_roundtrip(tiny_world, tmp_path):
+def test_resume_from_epoch_checkpoint(tiny_world):
+    """train.start_epoch + load_checkpoint resumes a crashed run: epoch
+    numbering continues (checkpoint names, cosine schedule) and the
+    optimiser step counter carries over instead of restarting."""
+    tmp_path, cfg_path = tiny_world
+
+    from temporal_latticenet_tpu.config import (cfgParser,
+                                                model_config_from_cfg,
+                                                nr_classes_from_cfg,
+                                                runtime_config_from_cfg)
+    parser = cfgParser(cfg_path)
+    cfg = model_config_from_cfg(parser, nr_classes_from_cfg(parser))
+    rt = runtime_config_from_cfg(parser)
+
+    datasets = _patch_lengths(tloop.make_datasets(parser, cfg, rt))
+    state0 = tloop.run_training(cfg_path, datasets=datasets)
+    epoch0 = [c for c in os.listdir(tmp_path / "ckpts")
+              if c.endswith("_epoch0.ckpt")]
+    assert len(epoch0) == 1
+
+    text = open(cfg_path).read()
+    text = text.replace("training_epochs: 1", "training_epochs: 2")
+    text = text.replace("load_checkpoint: false", "load_checkpoint: true")
+    text = text.replace('load_checkpoint_model: ""\n}',
+                        f'load_checkpoint_model: "{epoch0[0]}"\n'
+                        "    start_epoch: 1\n}", 1)
+    resume_path = tmp_path / "cfg_resume.cfg"
+    resume_path.write_text(text)
+
+    state1 = tloop.run_training(str(resume_path), datasets=datasets)
+    names = os.listdir(tmp_path / "ckpts")
+    assert any(c.endswith("_epoch1.ckpt") for c in names), names
+    # exactly one extra epoch ran, from the restored step counter onward
+    assert int(state1.step) == 2 * int(state0.step)
     from temporal_latticenet_tpu.config import (cfgParser,
                                                 model_config_from_cfg,
                                                 nr_classes_from_cfg,
