@@ -68,13 +68,20 @@ class StateCallback(Callback):
     (callbacks/state_callback.py:6-48)."""
 
     def after_forward_pass(self, *, phase=None, loss=0.0, pred_logits=None,
+                           pred_labels=None, nr_classes=None,
                            target=None, ignore_index=0, **kw):
         if phase is None:
             return
         phase.iter_nr += 1
         phase.samples_processed_this_epoch += 1
         phase.loss_acum_per_epoch += float(loss)
-        if pred_logits is not None and target is not None:
+        # pred_labels: already-argmaxed predictions (the train loop argmaxes
+        # on device -- int32 predictions are ~26x less tunnel traffic than
+        # float32 log-probs); pred_logits kept for API compatibility
+        if pred_labels is not None and target is not None:
+            phase.scores.accumulate_scores(pred_labels, target, ignore_index,
+                                           nr_classes=nr_classes)
+        elif pred_logits is not None and target is not None:
             phase.scores.accumulate_logits(pred_logits, target, ignore_index)
 
     def epoch_started(self, *, phase=None, **kw):

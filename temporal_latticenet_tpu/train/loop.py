@@ -91,6 +91,11 @@ def run_training(config_file: str, max_steps: int | None = None,
         cfg, rt, lr=train_cfg["lr"], weight_decay=train_cfg["weight_decay"])
     train_step, eval_step = engine.make_train_step(model, cfg, rt, tx,
                                                    ignore_index)
+    # device-side argmax: fetching (B,P) int32 predictions instead of the
+    # (B,P,nr_classes) float32 log-probs is ~26x less tunnel traffic per
+    # window (13.6 MB -> 0.5 MB at 131k points / 26 classes)
+    pred_fn = jax.jit(lambda lp: jax.numpy.argmax(lp, axis=-1)
+                      .astype(jax.numpy.int32))
 
     if datasets is None:
         datasets = make_datasets(parser, cfg, rt)
@@ -200,13 +205,15 @@ def run_training(config_file: str, max_steps: int | None = None,
                     logp, metrics = eval_step(state.params, batch)
                     lr_scale = 0.0
 
+                preds = np.asarray(pred_fn(logp))
                 for bi, frames in enumerate(seqs):
                     last = frames[-1]
                     cb.after_forward_pass(
                         phase=phase, loss=float(metrics["loss"]),
                         loss_dice=float(metrics.get("lovasz", 0.0)),
                         grad_norm=float(metrics.get("grad_norm", 0.0)),
-                        pred_logits=np.asarray(logp[bi])[last.mask],
+                        pred_labels=preds[bi][last.mask],
+                        nr_classes=cfg.nr_classes,
                         target=last.labels[last.mask],
                         ignore_index=ignore_index, lr=lr_scale)
 
@@ -273,6 +280,8 @@ def run_eval(config_file: str, split: str = "test", max_seqs: int | None = None,
     model, state, tx = engine.create_train_state(cfg, rt, lr=1e-3,
                                                  weight_decay=0.0)
     _, eval_step = engine.make_train_step(model, cfg, rt, tx, ignore_index)
+    pred_fn = jax.jit(lambda lp: jax.numpy.argmax(lp, axis=-1)
+                      .astype(jax.numpy.int32))
 
     path = checkpoint_path or (
         os.path.join(eval_cfg["checkpoint_path"],
@@ -299,10 +308,11 @@ def run_eval(config_file: str, split: str = "test", max_seqs: int | None = None,
         batch = engine.SeqBatch.stack([frames])
         logp, metrics = eval_step(state.params, batch)
         last = frames[-1]
-        pred = np.asarray(logp[0]).argmax(axis=1)[last.mask]
+        pred = np.asarray(pred_fn(logp))[0][last.mask]
         cb.after_forward_pass(
             phase=phase, loss=float(metrics["loss"]),
-            pred_logits=np.asarray(logp[0])[last.mask], target=last.labels[last.mask],
+            pred_labels=pred, nr_classes=cfg.nr_classes,
+            target=last.labels[last.mask],
             ignore_index=ignore_index, lr=0.0)
 
         if write_preds:
