@@ -30,8 +30,10 @@ from .callbacks import CallbacksGroup, Phase, StateCallback, WandBCallback
 
 
 def _prefetch(iterable, depth: int = 2):
-    """Background-thread prefetch, standing in for the reference's 8 loader
-    workers (train_ln.py:56-57) until the native loader lands."""
+    """Background-thread prefetch of assembled windows (the reference's 8
+    loader workers, train_ln.py:56-57).  Per-frame file IO inside each item
+    is already parallel C++ (native/kitti_loader.cpp); this overlaps window
+    assembly + augmentation with device compute."""
     q: queue.Queue = queue.Queue(maxsize=depth)
     done = object()
 
