@@ -94,6 +94,12 @@ def main():
     ap.add_argument("--no-batched-pointnet", dest="batched_pointnet",
                     action="store_false",
                     help="A/B: per-frame pointnet scatters")
+    ap.add_argument("--trim-capacity", type=int, default=-1,
+                    help="trimmed-frame level-0 capacity (frames 0..T-2 run "
+                    "on row prefixes; RuntimeConfig.trim_capacity_level0). "
+                    "-1 = per-generator default (lidar: 36864 = 1.2x the "
+                    "measured frame-(T-2) occupancy 30827, "
+                    "scripts/occupancy.py); 0 disables")
     args = ap.parse_args()
 
     # capacity defaults sized to measured occupancy (scripts/occupancy.py):
@@ -101,10 +107,13 @@ def main():
     # the legacy synthetic generator needs the r1 sizing
     capacity = args.capacity or (49152 if args.generator == "lidar"
                                  else 98304)
+    trim = (args.trim_capacity if args.trim_capacity >= 0
+            else (36864 if args.generator == "lidar" else 0))
     rt = RuntimeConfig(max_points=args.max_points,
                        capacity_level0=capacity,
                        capacity_decay=0.5, min_capacity=8192, sigma=0.6,
-                       batched_pointnet=args.batched_pointnet)
+                       batched_pointnet=args.batched_pointnet,
+                       trim_capacity_level0=trim)
     cfg = FLAGSHIP
     model = LNNSeq(cfg, rt)
     seq_fwd = make_sequence_forward(model, cfg, rt)
@@ -142,15 +151,16 @@ def main():
 
     def _fwd(prm, p_, v_, m_):
         logp, sv, aux = seq_fwd(prm, p_, v_, m_)
-        return logp.sum(), aux["occupancy"]
+        return logp.sum(), aux["occupancy"], aux["trim_overflow"]
 
     fwd = jax.jit(_fwd)
 
     t0 = time.perf_counter()
-    s, occ = fwd(params, positions, values, mask)
+    s, occ, trim_over = fwd(params, positions, values, mask)
     float(s)
     compile_s = time.perf_counter() - t0
     occupancy = [int(x) for x in np.asarray(occ)]
+    trim_overflowed = bool(trim_over)
 
     # honesty check: a saturated table silently drops vertices, making the
     # measured workload SMALLER than the input deserves (the r1 failure)
@@ -160,6 +170,12 @@ def main():
         print(f"WARNING: vertex table saturated (occupancy {occupancy} vs "
               f"capacities {list(caps)}); the headline number is measured "
               f"with dropped vertices -- raise --capacity", file=sys.stderr)
+    if trim_overflowed:
+        import sys
+        print(f"WARNING: trimmed-frame capacity overflow (trim "
+              f"{rt.trim_capacities(2)} < frame-{args.frames - 2} "
+              f"occupancy); non-final frames dropped vertex compute -- "
+              f"raise --trim-capacity", file=sys.stderr)
 
     for _ in range(args.warmup):
         float(fwd(params, positions, values, mask)[0])
@@ -180,7 +196,7 @@ def main():
     @jax.jit
     def fwd_loop(prm, p_, v_, m_):
         def body(i, acc):
-            s, _ = _fwd(prm, p_ + jnp.float32(i) * 1e-12, v_, m_)
+            s, _, _ = _fwd(prm, p_ + jnp.float32(i) * 1e-12, v_, m_)
             return acc + s
         return jax.lax.fori_loop(0, n_loop, body, jnp.float32(0.0))
 
@@ -222,8 +238,11 @@ def main():
                    "frames": args.frames,
                    "generator": args.generator,
                    "capacities": list(caps),
+                   "trim_capacities": (list(rt.trim_capacities(2))
+                                       if rt.trim_capacity_level0 else None),
                    "occupancy_final_union": occupancy,
                    "saturated": any(saturated),
+                   "trim_overflowed": trim_overflowed,
                    # the A100 constant is an ESTIMATE (the reference
                    # publishes no numbers; paper unfetchable here).
                    # Derived bounds (scripts/roofline.py, docs/DESIGN.md):

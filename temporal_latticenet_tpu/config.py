@@ -296,11 +296,35 @@ class RuntimeConfig:
     # minimum memory), "selective" (save all but the rowified conv
     # neighborhoods -- engine.make_sequence_forward), "none" (save all)
     remat_mode: str = "full"
+    # r3: static capacity for the TRIMMED (non-final) frames of the
+    # whole-sequence path.  Vertex indices are birth-sorted, so every vertex
+    # alive during frames 0..T-2 has index < counts[T-2]; the trimmed-frame
+    # network can therefore run on [0, trim_cap) row prefixes of every
+    # capacity-shaped array -- fewer gathered rows, smaller GN/fusion/conv
+    # row counts -- with results equal to the full-capacity path up to f32
+    # reduction order (tested).  0 disables.  Size it to frame-(T-2)
+    # occupancy with headroom (scripts/occupancy.py prints per-frame
+    # counts); undersizing is surfaced as aux["trim_overflow"] and OR-ed
+    # into vertex_overflow, never silent.
+    trim_capacity_level0: int = 0
 
     def capacities(self, nr_downsamples: int) -> tuple:
         caps = [self.capacity_level0]
         for _ in range(nr_downsamples):
             caps.append(max(int(caps[-1] * self.capacity_decay), self.min_capacity))
+        return tuple(caps)
+
+    def trim_capacities(self, nr_downsamples: int) -> tuple | None:
+        """Per-level trimmed-frame capacities (same decay/min rules as
+        :meth:`capacities`, clamped to never exceed them), or None when
+        trimming is disabled."""
+        if not self.trim_capacity_level0:
+            return None
+        full = self.capacities(nr_downsamples)
+        caps = [min(self.trim_capacity_level0, full[0])]
+        for i in range(nr_downsamples):
+            caps.append(min(max(int(caps[-1] * self.capacity_decay),
+                                self.min_capacity), full[i + 1]))
         return tuple(caps)
 
 

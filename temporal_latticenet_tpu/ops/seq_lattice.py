@@ -582,6 +582,58 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
     )
 
 
+def trim_sequence_lattice(lat: SeqLattice, trim_caps) -> SeqLattice:
+    """Truncate a finalised SeqLattice to smaller static capacities for the
+    TRIMMED (non-final) frames of the sequence forward.
+
+    Stable indices are sorted by (birth, key), so every vertex alive during
+    frames 0..T-2 has index < counts[T-2]: provided
+    ``trim_caps[l] >= counts[T-2]`` per level, the [0, trim_caps[l]) row
+    prefix contains the complete per-frame vertex sets of all trimmed
+    frames, and rows outside it can only hold vertices born at the FINAL
+    frame.  Neighbor/corner indices pointing past a trim cap are therefore
+    unborn throughout the trimmed frames; remapping them to the reserved
+    zero row (whose values are exactly zero -- the mask_rows invariant)
+    reproduces the full-capacity gather semantics, and their ``found``
+    masks are already False at trimmed frames via ``nbr_birth``.
+
+    Results equal the full-capacity path up to f32 reduction order (the
+    GN statistics and splat sums reduce over differently-shaped -- but
+    identically-valued -- operands).  Undersized trim caps are the same
+    failure class as a saturated table; the engine surfaces them as
+    ``aux["trim_overflow"]`` (never silent).
+
+    The per-frame ``counts``/``row_*`` arrays are shared with the full
+    lattice; ``sorted_pn`` is dropped (the batched pointnet runs once at
+    full capacity before the frame scan).
+    """
+    levels = []
+    for l, lvl in enumerate(lat.levels):
+        c = trim_caps[l]
+        idx = lvl.nbr_idx[:c]
+        levels.append(SeqLevel(
+            keys=lvl.keys[:c], birth=lvl.birth[:c], counts=lvl.counts,
+            nbr_idx=jnp.where(idx < c, idx, 0),
+            nbr_found=lvl.nbr_found[:c], nbr_birth=lvl.nbr_birth[:c]))
+    links = []
+    for l, link in enumerate(lat.links):
+        cf, cc = trim_caps[l], trim_caps[l + 1]
+        ci = link.corner_idx[:cf]
+        ok = ci < cc
+        links.append(lo_augment_link_sorted(
+            LevelLink(corner_idx=jnp.where(ok, ci, 0),
+                      corner_bary=jnp.where(ok, link.corner_bary[:cf], 0.0)),
+            cc))
+    return SeqLattice(
+        levels=tuple(levels), links=tuple(links),
+        row_vertex=lat.row_vertex, row_bary=lat.row_bary,
+        row_valid=lat.row_valid, row_rel_pos=lat.row_rel_pos,
+        point_vertex=lat.point_vertex, point_bary=lat.point_bary,
+        nr_points=(None if lat.nr_points is None
+                   else lat.nr_points[:, :trim_caps[0]]),
+        sorted_pn=None)
+
+
 def _union_with_birth_explicit(cand_packed, cand_birth, capacity, n_frames):
     """Like _union_with_birth but with an explicit per-candidate birth frame
     (used for coarse levels, where birth is inherited from fine vertices;

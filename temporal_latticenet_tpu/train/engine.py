@@ -99,6 +99,20 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
             seqlat = sl.build_sequence_lattice(
                 positions, mask, rt.sigma, caps, cfg.nr_downsamples,
                 subtract_local_mean=subtract_mean)
+            # r3 trimmed-frame capacities: frames 0..T-2 run the network on
+            # [0, trim_cap) row prefixes (birth-sorted indices make the
+            # prefix complete for those frames -- sl.trim_sequence_lattice).
+            # The final frame always runs at full capacity.
+            trim_caps = rt.trim_capacities(cfg.nr_downsamples)
+            do_trim = trim_caps is not None and t > 1 and any(
+                tc < c for tc, c in zip(trim_caps, caps))
+            # undersized trim caps exclude late-born vertices from the
+            # trimmed frames' compute: surface it exactly like a saturated
+            # vertex table, never silently
+            trim_overflow = (jnp.any(jnp.stack(
+                [seqlat.levels[l].counts[-2] > trim_caps[l]
+                 for l in range(cfg.nr_downsamples + 1)]))
+                if do_trim else jnp.asarray(False))
 
             full_dist = lo.DistributeOut(
                 row_vertex=seqlat.row_vertex, row_bary=seqlat.row_bary,
@@ -126,11 +140,31 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                 return slice_ if batched_pn else None
 
             if t > 1:
+                scan_lat = (sl.trim_sequence_lattice(seqlat, trim_caps)
+                            if do_trim else seqlat)
+                red_scan = (reduced_all[:-1, : trim_caps[0]]
+                            if (do_trim and batched_pn)
+                            else reduced_all[:-1])
+
+                def _site_caps(which):
+                    from ..models.lnn_seq import SITES, site_level
+                    return [which[site_level(cfg, s)] for s in SITES]
+
+                if do_trim:
+                    # slice the carried fusion states to the trimmed caps;
+                    # fusion outputs are mask_rows-clean, so the rows this
+                    # drops (unborn during trimmed frames) are exactly zero
+                    # and the post-scan zero-pad restores them bit-equal
+                    h_t, h_f = _site_caps(trim_caps), _site_caps(caps)
+                    state = state.replace(h=tuple(
+                        (a[:c] if a.shape[0] > 1 else a)
+                        for a, c in zip(state.h, h_t)))
+
                 @_maybe_remat
                 def step_trim(carry, v, m, d, red):
                     _, carry, _ = model.apply(
                         params, None, v, m, carry, final=False,
-                        deterministic=deterministic, pre=(seqlat, d),
+                        deterministic=deterministic, pre=(scan_lat, d),
                         pre_reduced=_red(red))
                     return carry
 
@@ -139,8 +173,13 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                     return step_trim(carry, v, m, d, red), ()
                 xs = (values[:-1], mask[:-1],
                       jax.tree_util.tree_map(lambda a: a[:-1], full_dist),
-                      reduced_all[:-1])
+                      red_scan)
                 state, _ = jax.lax.scan(body, state, xs)
+                if do_trim:
+                    state = state.replace(h=tuple(
+                        (jnp.pad(a, ((0, c - a.shape[0]), (0, 0)))
+                         if a.shape[0] > 1 else a)
+                        for a, c in zip(state.h, h_f)))
             last_dist = jax.tree_util.tree_map(lambda a: a[-1], full_dist)
 
             @_maybe_remat
@@ -153,6 +192,8 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
 
             logp, sv, state, aux = step_final(state, values[-1], mask[-1],
                                               last_dist, reduced_all[-1])
+            aux["trim_overflow"] = trim_overflow
+            aux["vertex_overflow"] = aux["vertex_overflow"] | trim_overflow
             return logp, sv, aux
 
         if t > 1:
