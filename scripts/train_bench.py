@@ -28,9 +28,17 @@ def main():
                     default="selective",
                     help="BPTT remat mode (engine.make_sequence_forward). "
                          "A/B on the real chip at this scale: full 1.017 "
-                         "s/step, selective 0.939, none 0.911; selective is "
-                         "the default because it keeps most of the speed "
-                         "while retaining remat headroom for longer windows")
+                         "s/step, selective 0.939, none 0.911 (no trim); "
+                         "with trim 36864: selective 0.857, none 0.835. "
+                         "selective is the default because it keeps most of "
+                         "the speed while retaining remat headroom for "
+                         "longer windows")
+    ap.add_argument("--trim-capacity", type=int, default=-1,
+                    help="trimmed-frame level-0 capacity (frames 0..T-2 of "
+                    "the BPTT scan run on row prefixes, forward AND "
+                    "backward; RuntimeConfig.trim_capacity_level0). -1 = "
+                    "per-generator default (lidar: 36864, matching "
+                    "bench.py); 0 disables")
     args = ap.parse_args()
 
     from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
@@ -40,10 +48,13 @@ def main():
 
     args.capacity = args.capacity or (49152 if args.generator == "lidar"
                                       else 98304)
+    trim = (args.trim_capacity if args.trim_capacity >= 0
+            else (36864 if args.generator == "lidar" else 0))
 
     rt = RuntimeConfig(max_points=131072, capacity_level0=args.capacity,
                        capacity_decay=0.5, min_capacity=8192, sigma=0.6,
-                       remat_mode=args.remat)
+                       remat_mode=args.remat,
+                       trim_capacity_level0=trim)
     cfg = ModelConfig(nr_classes=26, rnn_modules=("gru", "gru", "aflow", "gru"),
                       frames_per_seq=4)
 
@@ -78,6 +89,8 @@ def main():
         "seconds_per_step": dt,
         "compile_seconds": compile_s,
         "remat": args.remat,
+        "trim_capacity": trim,
+        "vertex_overflow": bool(metrics.get("vertex_overflow", False)),
     }), flush=True)
 
 

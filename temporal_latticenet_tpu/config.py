@@ -374,6 +374,7 @@ def runtime_config_from_cfg(parser: cfgParser) -> RuntimeConfig:
         compute_dtype=rt.get("compute_dtype", "float32"),
         batched_pointnet=rt.get("batched_pointnet", True),
         remat_mode=rt.get("remat_mode", "full"),
+        trim_capacity_level0=int(rt.get("trim_capacity_level0", 0)),
     )
 
 

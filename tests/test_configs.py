@@ -42,6 +42,21 @@ def test_label_mngr_sections():
     assert tr["random_mirror_x"] is True
 
 
+def test_runtime_trim_capacity(tmp_path):
+    """trim_capacity_level0 is settable from the cfg runtime section and
+    defaults to 0 (off) when absent."""
+    base = open("seq_config/lnn_train_semantic_kitti.cfg").read()
+    assert runtime_config_from_cfg(
+        cfgParser("seq_config/lnn_train_semantic_kitti.cfg")
+    ).trim_capacity_level0 == 0
+    mod = base.replace("runtime: {", "runtime: {\n    trim_capacity_level0: 36864", 1)
+    path = tmp_path / "trim.cfg"
+    path.write_text(mod)
+    rt = runtime_config_from_cfg(cfgParser(str(path)))
+    assert rt.trim_capacity_level0 == 36864
+    assert rt.trim_capacities(2) == (36864, 18432, 9216)
+
+
 def test_hjson_extras():
     """hjson features beyond the shipped configs' subset: # comments,
     single-quoted and ''' multiline strings (VERDICT r2 missing item 4)."""
