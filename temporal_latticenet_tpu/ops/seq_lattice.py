@@ -190,7 +190,21 @@ def _seg_sum_rows(head: jax.Array, val: jax.Array) -> jax.Array:
 
 
 def _seg_copy_tail_rows(tail: jax.Array, val: jax.Array) -> jax.Array:
-    """Propagate each run TAIL's value backward across its run.  val (Q, K)."""
+    """Propagate each run TAIL's value backward across its run.  val (Q, K).
+
+    Pallas path: ONE pass via the "first" scan on reversed rows.  The
+    kernel identifies runs by id EQUALITY only, so the reversed ids must
+    stay globally unique per run: ``ids[-1] - ids[::-1]`` is nondecreasing
+    and preserves run identity (plain ``ids[::-1]`` would let the kernel's
+    in-tile padding collide with real run ids)."""
+    if _use_pallas_scans():
+        from . import pallas_scan as ps
+        head = jnp.concatenate([jnp.ones((1,), bool), tail[:-1]])
+        ids = _blocked_cumsum(head.astype(jnp.int32))
+        rev_ids = ids[-1] - ids[::-1]
+        out = ps.sorted_segment_scan(rev_ids, val[::-1], "first")
+        return out[::-1]
+
     def comb(a, b):
         fa, va = a
         fb, vb = b
@@ -206,8 +220,16 @@ def _seg_copy_tail_rows(tail: jax.Array, val: jax.Array) -> jax.Array:
 HEAD_TABLE_MODE = "sort"
 # Per-(vertex, frame) mean strategy: "table" = ONE forward segmented scan +
 # widened tail scatter + per-row gather; "scan" = the r2 two-scan version
-# (forward seg-sum + backward tail-copy).  A/B'd the same way.
-MEAN_MODE = "table"
+# (forward seg-sum + backward tail-copy); "table_bwd" = forward scan +
+# Pallas backward tail-copy for the per-row totals + a COMPACTED
+# (sort-then-slice) tail scatter for the (T, cap) tables.  A/B'd the same
+# way (scripts/profile_meanscatter.py: the full-Q 5ch set-scatter is
+# 19 ms and the Q-row table gather 21 ms at bench scale; the compaction
+# sort + T*cap-row scatter is 8 ms).  On the real spn graph
+# (scripts/profile_meanmode.py, TPU): table 93.8 ms, table_bwd 88.0
+# (the backward scan's own ~160 MB of traffic eats the gather saving),
+# table_compact 74.6 -- compaction wins, keeping the table+gather flow.
+MEAN_MODE = "table_compact"
 
 
 def _head_table(head2, fits, urank2, k2, b2, capacity: int, n_frames: int):
@@ -353,6 +375,58 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
         nr_points = buf[: n_frames * capacity, 3].reshape(n_frames, capacity)
         tailpos = buf[: n_frames * capacity, 4].astype(jnp.int32).reshape(
             n_frames, capacity)
+    elif MEAN_MODE == "table_compact":
+        # same table+gather dataflow as "table", but the (T*cap+1, 5)
+        # table is built by scattering only the T*cap COMPACTED tail rows
+        # (one more multi-operand sort moves them to the front; scatter
+        # cost is per source row: 19 ms full-Q vs 8 ms sort+slice+scatter,
+        # scripts/profile_meanscatter.py)
+        m = n_frames * capacity
+        posf = jnp.arange(q, dtype=jnp.float32)
+        tkey = jnp.where(tail_vf & fits, bucket.astype(jnp.uint32),
+                         jnp.uint32(0xFFFFFFFF))
+        sk, s0, s1, s2, s3, spos = jax.lax.sort(
+            (tkey, run_tot[:, 0], run_tot[:, 1], run_tot[:, 2],
+             run_tot[:, 3], posf), dimension=0, num_keys=1)
+        if q < m:
+            pad = m - q
+            sk = jnp.concatenate([sk, jnp.full((pad,), 0xFFFFFFFF,
+                                               jnp.uint32)])
+            zpad = jnp.zeros((pad,), jnp.float32)
+            s0, s1, s2, s3, spos = (jnp.concatenate([a, zpad])
+                                    for a in (s0, s1, s2, s3, spos))
+        dd = jnp.where(sk[:m] != jnp.uint32(0xFFFFFFFF),
+                       sk[:m].astype(jnp.int32), m)
+        buf = jnp.zeros((m + 1, 5), jnp.float32).at[dd].set(
+            jnp.stack([s0[:m], s1[:m], s2[:m], s3[:m], spos[:m]], axis=1))
+        tot = buf[bucket][:, :4]
+        nr_points = buf[:m, 3].reshape(n_frames, capacity)
+        tailpos = buf[:m, 4].astype(jnp.int32).reshape(n_frames, capacity)
+    elif MEAN_MODE == "table_bwd":
+        # per-row totals come back by ONE Pallas backward pass instead of
+        # the Q-row table gather; the (T, cap) nr_points/tailpos tables
+        # come from a scatter of only T*cap rows after one more sort
+        # compacts the real tails to the front (scatter cost is per
+        # SOURCE row, and only ~T*cap of the Q rows are tails).
+        tot = _seg_copy_tail_rows(tail_vf, run_tot)
+        m = n_frames * capacity
+        posf = jnp.arange(q, dtype=jnp.float32)
+        tkey = jnp.where(tail_vf & fits, bucket.astype(jnp.uint32),
+                         jnp.uint32(0xFFFFFFFF))
+        sk, sw, spos = jax.lax.sort((tkey, run_tot[:, 3], posf),
+                                    dimension=0, num_keys=1)
+        if q < m:
+            pad = m - q
+            sk = jnp.concatenate([sk, jnp.full((pad,), 0xFFFFFFFF,
+                                               jnp.uint32)])
+            sw = jnp.concatenate([sw, jnp.zeros((pad,), jnp.float32)])
+            spos = jnp.concatenate([spos, jnp.zeros((pad,), jnp.float32)])
+        dd = jnp.where(sk[:m] != jnp.uint32(0xFFFFFFFF),
+                       sk[:m].astype(jnp.int32), m)
+        buf = jnp.zeros((m + 1, 2), jnp.float32).at[dd].set(
+            jnp.stack([sw[:m], spos[:m]], axis=1))
+        nr_points = buf[:m, 0].reshape(n_frames, capacity)
+        tailpos = buf[:m, 1].astype(jnp.int32).reshape(n_frames, capacity)
     else:
         tot = _seg_copy_tail_rows(tail_vf, run_tot)
         dst_np = jnp.where(tail_vf & fits, bucket, n_frames * capacity)

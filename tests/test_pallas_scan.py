@@ -78,6 +78,31 @@ def test_sorted_segment_scan_padding():
                                atol=1e-3)
 
 
+def test_backward_tail_copy_via_reversed_first():
+    """The _seg_copy_tail_rows Pallas recipe: reverse rows, remap run ids
+    to ``ids[-1] - ids[::-1]`` (nondecreasing, so the kernel's fresh-run
+    padding cannot collide), run the "first" scan, reverse back.  Every
+    row must receive its run TAIL's value."""
+    rng = np.random.default_rng(4)
+    q = 3000
+    tails = rng.random(q) < 0.05
+    tails[-1] = True
+    heads = np.concatenate([[True], tails[:-1]])
+    ids = np.cumsum(heads).astype(np.int32)
+    x = rng.standard_normal((q, 4)).astype(np.float32)
+
+    rev_ids = jnp.asarray(ids[-1] - ids[::-1])
+    out = ps.sorted_segment_scan(rev_ids, jnp.asarray(x[::-1]), "first",
+                                 rows=64, interpret=True)
+    got = np.asarray(out)[::-1]
+
+    exp = x.copy()
+    for i in range(q - 2, -1, -1):
+        if not tails[i]:
+            exp[i] = exp[i + 1]
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_single_run_is_cumulative():
     """All-equal run ids turn the scan into a plain cumulative op (the
     _blocked_cumsum accelerator route)."""

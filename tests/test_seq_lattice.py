@@ -220,7 +220,7 @@ def test_union_mode_variants_identical(rng):
 
     outs = {}
     for ht in ("sort", "scatter"):
-        for mm in ("table", "scan"):
+        for mm in ("table", "scan", "table_bwd", "table_compact"):
             sl.HEAD_TABLE_MODE, sl.MEAN_MODE = ht, mm
             try:
                 outs[(ht, mm)] = jax.jit(
@@ -230,10 +230,18 @@ def test_union_mode_variants_identical(rng):
                 sl.HEAD_TABLE_MODE, sl.MEAN_MODE = "sort", "table"
     base = outs[("sort", "table")]
     for k, v in outs.items():
-        # element 6 (sorted_pn aux) legitimately exists only in table mode
+        # element 6 (sorted_pn aux) legitimately exists only in the table
+        # modes (scan mode returns None)
         for i, (a, b) in enumerate(zip(base[:6], v[:6])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                           err_msg=f"{k} out[{i}]")
+        if k[1] in ("table_bwd", "table_compact"):
+            assert v[6] is not None
+            for f in ("rel", "so", "live", "head_vf", "bucket", "tailpos"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(base[6], f)),
+                    np.asarray(getattr(v[6], f)),
+                    err_msg=f"{k} sorted_pn.{f}")
 
 
 def test_blocked_seg_scan_matches_associative_scan(rng):
