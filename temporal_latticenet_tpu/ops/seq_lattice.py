@@ -520,9 +520,15 @@ def _build_level(packed_final, birth_final, counts, n_frames):
     cap = packed_final.shape[0]
     keys = unpack_keys(packed_final)
 
+    # One-hop offsets come in +/- pairs ([+o_0..+o_d, -o_0..-o_d],
+    # pm.neighbor_offsets): if B = A + o_a then A = B - o_a, so only the
+    # POSITIVE half is looked up and the negative half is its scatter
+    # inverse -- half the MXU-lookup volume for one cap*4-row scatter
+    # (lookups dominated the nbr stage, scripts/profile_build_split.py).
     offs = jnp.asarray(pm.neighbor_offsets(3))
-    n_off = offs.shape[0]
-    queries = (keys[:, None, :] + offs[None, :, :]).reshape(cap * n_off, 3)
+    n_half = offs.shape[0] // 2
+    queries = (keys[:, None, :] + offs[None, :n_half, :]
+               ).reshape(cap * n_half, 3)
     qpacked = pack_keys(queries)
     # Sort the table once, then batched MXU lookups (no random gathers).
     # Stable index and birth ride the SAME one-hot contraction as payload
@@ -533,16 +539,35 @@ def _build_level(packed_final, birth_final, counts, n_frames):
     pos, (st, bi) = mxu_lookup_select(
         s_packed, qpacked, payloads=(s_stable, s_birth),
         payload_bits=(max(int(cap - 1).bit_length(), 1), 8))
-    pos = pos.reshape(cap, n_off)
-    nbr = jnp.where(pos >= 0, st.reshape(cap, n_off), -1)
-    nbr_bi = bi.reshape(cap, n_off)
-
+    pos = pos.reshape(cap, n_half)
     valid_self = packed_final != PACKED_SENTINEL
+    fwd_found = (pos >= 0) & valid_self[:, None]
+    fwd_idx = jnp.where(fwd_found, st.reshape(cap, n_half), -1)
+    fwd_birth = bi.reshape(cap, n_half)
+
+    # reverse edges: nbr[B, n_half + a] = A wherever nbr[A, a] = B.  A's
+    # stable index (< 2^24) and birth pack into one int32 so ONE scatter
+    # carries both; each (B, a) slot has at most one writer (A = B - o_a
+    # is unique), and -1 marks empty slots.
+    a_idx = jnp.broadcast_to(
+        jnp.arange(n_half, dtype=jnp.int32)[None, :], (cap, n_half))
+    dstf = jnp.where(fwd_found, fwd_idx * n_half + a_idx, cap * n_half)
+    src = jnp.broadcast_to(
+        stable[:, None] | (birth_final[:, None] << 24), (cap, n_half))
+    buf = jnp.full((cap * n_half + 1,), -1, jnp.int32).at[
+        dstf.reshape(-1)].set(src.reshape(-1))
+    rev = buf[: cap * n_half].reshape(cap, n_half)
+    rev_found = (rev >= 0) & valid_self[:, None]
+    rev_idx = jnp.where(rev_found, rev & 0xFFFFFF, -1)
+    rev_birth = rev >> 24
+
     self_idx = jnp.arange(cap, dtype=jnp.int32)
-    idx = jnp.concatenate([jnp.maximum(nbr, 0), self_idx[:, None]], axis=1)
-    found = jnp.concatenate([nbr >= 0, valid_self[:, None]], axis=1)
-    found &= valid_self[:, None]
-    all_birth = jnp.concatenate([nbr_bi, birth_final[:, None]], axis=1)
+    idx = jnp.concatenate([jnp.maximum(fwd_idx, 0), jnp.maximum(rev_idx, 0),
+                           self_idx[:, None]], axis=1)
+    found = jnp.concatenate([fwd_found, rev_found, valid_self[:, None]],
+                            axis=1)
+    all_birth = jnp.concatenate([fwd_birth, rev_birth,
+                                 birth_final[:, None]], axis=1)
     nbr_birth = jnp.where(found, all_birth, n_frames)
 
     return SeqLevel(keys=keys, birth=birth_final, counts=counts,
