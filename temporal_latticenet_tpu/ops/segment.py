@@ -170,26 +170,34 @@ def _decode_packed(best):
     return mx, bary_sel
 
 
-def _sorted_packed_max_impl(data, bary, live, head, bucket, tailpos,
-                            bucket_live):
+def _seg_max_full_scan(head, packed):
+    """Full (Q, C) inclusive segmented max (the pre-two-level path; kept
+    for row counts the chunked layout cannot express)."""
     from . import seq_lattice as sl
 
-    packed = _pack_value_bary(data, bary, live)
-
     if jax.default_backend() != "cpu":
-        # single-pass Pallas kernel (one read + one write of the data);
-        # the blocked associative_scan fallback makes ~8 passes
         from . import pallas_scan as ps
         hc = sl._blocked_cumsum(head.astype(jnp.int32))
-        scanned = ps.sorted_segment_max_u32(hc, packed)
-    else:
-        def comb(a, b):
-            fa, va = a
-            fb, vb = b
-            return fa | fb, jnp.where(fb[..., None], vb,
-                                      jnp.maximum(va, vb))
-        scanned = sl._blocked_seg_scan(comb, head, packed)
-    best = scanned[tailpos.reshape(-1)]
+        return ps.sorted_segment_max_u32(hc, packed)
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb[..., None], vb,
+                                  jnp.maximum(va, vb))
+    return sl._blocked_seg_scan(comb, head, packed)
+
+
+def _sorted_packed_max_impl(data, bary, live, head, bucket, tailpos,
+                            bucket_live):
+    # NOTE(r3): consumers only read the scan at TAIL rows, but a two-level
+    # scheme (XLA intra-chunk passes + the Pallas scan on 8x-smaller chunk
+    # summaries) measured SLOWER (+11.0 vs +8.1 ms at Q=2M/C=64,
+    # scripts/profile_tailmax.py): each XLA shifted-compare-select pass
+    # materializes the full 512 MB instead of fusing.  The one-pass kernel
+    # stays.
+    packed = _pack_value_bary(data, bary, live)
+    best = _seg_max_full_scan(head, packed)[tailpos.reshape(-1)]
     best = jnp.where(bucket_live.reshape(-1, 1), best, 0)
     return best, packed
 

@@ -399,7 +399,13 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
                        sk[:m].astype(jnp.int32), m)
         buf = jnp.zeros((m + 1, 5), jnp.float32).at[dd].set(
             jnp.stack([s0[:m], s1[:m], s2[:m], s3[:m], spos[:m]], axis=1))
-        tot = buf[bucket][:, :4]
+        import os
+        if os.environ.get("TLN_PROFILE_SKIP_MEAN_GATHER") == "1":
+            # PROFILING ONLY (wrong results): measures the Q-row table
+            # gather's real in-graph cost as a delta
+            tot = jnp.broadcast_to(jnp.float32(1.0), (q, 4))
+        else:
+            tot = buf[bucket][:, :4]
         nr_points = buf[:m, 3].reshape(n_frames, capacity)
         tailpos = buf[:m, 4].astype(jnp.int32).reshape(n_frames, capacity)
     elif MEAN_MODE == "table_bwd":
