@@ -100,6 +100,12 @@ def main():
                     "-1 = per-generator default (lidar: 36864 = 1.2x the "
                     "measured frame-(T-2) occupancy 30827, "
                     "scripts/occupancy.py); 0 disables")
+    ap.add_argument("--final-capacity", type=int, default=-1,
+                    help="FINAL-frame level-0 capacity (the last frame's "
+                    "network runs on a row prefix; "
+                    "RuntimeConfig.final_capacity_level0). -1 = "
+                    "per-generator default (lidar: 40960 = 1.17x the "
+                    "measured final-union occupancy 34986); 0 disables")
     args = ap.parse_args()
 
     # capacity defaults sized to measured occupancy (scripts/occupancy.py):
@@ -109,11 +115,14 @@ def main():
                                  else 98304)
     trim = (args.trim_capacity if args.trim_capacity >= 0
             else (36864 if args.generator == "lidar" else 0))
+    ftrim = (args.final_capacity if args.final_capacity >= 0
+             else (40960 if args.generator == "lidar" else 0))
     rt = RuntimeConfig(max_points=args.max_points,
                        capacity_level0=capacity,
                        capacity_decay=0.5, min_capacity=8192, sigma=0.6,
                        batched_pointnet=args.batched_pointnet,
-                       trim_capacity_level0=trim)
+                       trim_capacity_level0=trim,
+                       final_capacity_level0=ftrim)
     cfg = FLAGSHIP
     model = LNNSeq(cfg, rt)
     seq_fwd = make_sequence_forward(model, cfg, rt)
@@ -172,10 +181,11 @@ def main():
               f"with dropped vertices -- raise --capacity", file=sys.stderr)
     if trim_overflowed:
         import sys
-        print(f"WARNING: trimmed-frame capacity overflow (trim "
-              f"{rt.trim_capacities(2)} < frame-{args.frames - 2} "
-              f"occupancy); non-final frames dropped vertex compute -- "
-              f"raise --trim-capacity", file=sys.stderr)
+        print(f"WARNING: trim capacity overflow (trim "
+              f"{rt.trim_capacities(2)} < frame-{args.frames - 2} occupancy "
+              f"or final {rt.final_capacities(2)} < final-union occupancy); "
+              f"frames dropped vertex compute -- raise --trim-capacity / "
+              f"--final-capacity", file=sys.stderr)
 
     for _ in range(args.warmup):
         float(fwd(params, positions, values, mask)[0])
@@ -240,6 +250,9 @@ def main():
                    "capacities": list(caps),
                    "trim_capacities": (list(rt.trim_capacities(2))
                                        if rt.trim_capacity_level0 else None),
+                   "final_capacities": (list(rt.final_capacities(2))
+                                        if rt.final_capacity_level0
+                                        else None),
                    "occupancy_final_union": occupancy,
                    "saturated": any(saturated),
                    "trim_overflowed": trim_overflowed,

@@ -39,6 +39,11 @@ def main():
                     "backward; RuntimeConfig.trim_capacity_level0). -1 = "
                     "per-generator default (lidar: 36864, matching "
                     "bench.py); 0 disables")
+    ap.add_argument("--final-capacity", type=int, default=-1,
+                    help="FINAL-frame level-0 capacity "
+                    "(RuntimeConfig.final_capacity_level0). -1 = "
+                    "per-generator default (lidar: 40960, matching "
+                    "bench.py); 0 disables")
     args = ap.parse_args()
 
     from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
@@ -50,11 +55,14 @@ def main():
                                       else 98304)
     trim = (args.trim_capacity if args.trim_capacity >= 0
             else (36864 if args.generator == "lidar" else 0))
+    ftrim = (args.final_capacity if args.final_capacity >= 0
+             else (40960 if args.generator == "lidar" else 0))
 
     rt = RuntimeConfig(max_points=131072, capacity_level0=args.capacity,
                        capacity_decay=0.5, min_capacity=8192, sigma=0.6,
                        remat_mode=args.remat,
-                       trim_capacity_level0=trim)
+                       trim_capacity_level0=trim,
+                       final_capacity_level0=ftrim)
     cfg = ModelConfig(nr_classes=26, rnn_modules=("gru", "gru", "aflow", "gru"),
                       frames_per_seq=4)
 
@@ -90,6 +98,7 @@ def main():
         "compile_seconds": compile_s,
         "remat": args.remat,
         "trim_capacity": trim,
+        "final_capacity": ftrim,
         "vertex_overflow": bool(metrics.get("vertex_overflow", False)),
     }), flush=True)
 

@@ -307,6 +307,15 @@ class RuntimeConfig:
     # counts); undersizing is surfaced as aux["trim_overflow"] and OR-ed
     # into vertex_overflow, never silent.
     trim_capacity_level0: int = 0
+    # r3: static capacity for the FINAL frame of the whole-sequence path.
+    # The same birth-sorted-prefix argument applies with counts[T-1]: the
+    # final frame's complete vertex set lives in [0, counts[T-1]), so the
+    # final-frame network can run on a [0, final_cap) prefix whenever
+    # final_cap >= counts[T-1] -- the full capacity_level0 then only sizes
+    # the union build's overflow headroom, not the per-frame compute.
+    # Size to final-union occupancy with headroom (scripts/occupancy.py);
+    # undersizing is surfaced via aux["trim_overflow"].  0 disables.
+    final_capacity_level0: int = 0
 
     def capacities(self, nr_downsamples: int) -> tuple:
         caps = [self.capacity_level0]
@@ -322,6 +331,19 @@ class RuntimeConfig:
             return None
         full = self.capacities(nr_downsamples)
         caps = [min(self.trim_capacity_level0, full[0])]
+        for i in range(nr_downsamples):
+            caps.append(min(max(int(caps[-1] * self.capacity_decay),
+                                self.min_capacity), full[i + 1]))
+        return tuple(caps)
+
+    def final_capacities(self, nr_downsamples: int) -> tuple | None:
+        """Per-level FINAL-frame capacities (same decay/min rules, clamped
+        to the full capacities), or None when final-frame trimming is
+        disabled."""
+        if not self.final_capacity_level0:
+            return None
+        full = self.capacities(nr_downsamples)
+        caps = [min(self.final_capacity_level0, full[0])]
         for i in range(nr_downsamples):
             caps.append(min(max(int(caps[-1] * self.capacity_decay),
                                 self.min_capacity), full[i + 1]))
@@ -375,6 +397,7 @@ def runtime_config_from_cfg(parser: cfgParser) -> RuntimeConfig:
         batched_pointnet=rt.get("batched_pointnet", True),
         remat_mode=rt.get("remat_mode", "full"),
         trim_capacity_level0=int(rt.get("trim_capacity_level0", 0)),
+        final_capacity_level0=int(rt.get("final_capacity_level0", 0)),
     )
 
 

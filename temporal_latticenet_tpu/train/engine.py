@@ -113,6 +113,17 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                 [seqlat.levels[l].counts[-2] > trim_caps[l]
                  for l in range(cfg.nr_downsamples + 1)]))
                 if do_trim else jnp.asarray(False))
+            # r3: FINAL-frame trim -- the full capacity only sizes the union
+            # build's overflow headroom; the last frame's network runs on
+            # [0, final_cap) prefixes (complete because indices are
+            # birth-sorted and final_cap >= counts[T-1], checked below)
+            ftrim_caps = rt.final_capacities(cfg.nr_downsamples)
+            do_ftrim = ftrim_caps is not None and any(
+                fc < c for fc, c in zip(ftrim_caps, caps))
+            if do_ftrim:
+                trim_overflow = trim_overflow | jnp.any(jnp.stack(
+                    [seqlat.levels[l].counts[-1] > ftrim_caps[l]
+                     for l in range(cfg.nr_downsamples + 1)]))
 
             full_dist = lo.DistributeOut(
                 row_vertex=seqlat.row_vertex, row_bary=seqlat.row_bary,
@@ -139,6 +150,18 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
             def _red(slice_):
                 return slice_ if batched_pn else None
 
+            def _site_caps(which):
+                from ..models.lnn_seq import SITES, site_level
+                return [which[site_level(cfg, s)] for s in SITES]
+
+            def _resize_rows(a, c):
+                """Slice or zero-pad the row axis to c; exact either way
+                because fusion outputs are mask_rows-clean (rows past the
+                frame's count are exactly zero)."""
+                if a.shape[0] >= c:
+                    return a[:c]
+                return jnp.pad(a, ((0, c - a.shape[0]), (0, 0)))
+
             if t > 1:
                 scan_lat = (sl.trim_sequence_lattice(seqlat, trim_caps)
                             if do_trim else seqlat)
@@ -146,16 +169,12 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                             if (do_trim and batched_pn)
                             else reduced_all[:-1])
 
-                def _site_caps(which):
-                    from ..models.lnn_seq import SITES, site_level
-                    return [which[site_level(cfg, s)] for s in SITES]
-
                 if do_trim:
                     # slice the carried fusion states to the trimmed caps;
                     # fusion outputs are mask_rows-clean, so the rows this
                     # drops (unborn during trimmed frames) are exactly zero
                     # and the post-scan zero-pad restores them bit-equal
-                    h_t, h_f = _site_caps(trim_caps), _site_caps(caps)
+                    h_t = _site_caps(trim_caps)
                     state = state.replace(h=tuple(
                         (a[:c] if a.shape[0] > 1 else a)
                         for a, c in zip(state.h, h_t)))
@@ -175,23 +194,31 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                       jax.tree_util.tree_map(lambda a: a[:-1], full_dist),
                       red_scan)
                 state, _ = jax.lax.scan(body, state, xs)
-                if do_trim:
-                    state = state.replace(h=tuple(
-                        (jnp.pad(a, ((0, c - a.shape[0]), (0, 0)))
-                         if a.shape[0] > 1 else a)
-                        for a, c in zip(state.h, h_f)))
+            # resize the carried fusion states to the final frame's row
+            # space (ftrim caps when final-frame trimming is on, else full)
+            if do_trim or do_ftrim:
+                h_target = _site_caps(ftrim_caps if do_ftrim else caps)
+                state = state.replace(h=tuple(
+                    (_resize_rows(a, c) if a.shape[0] > 1 else a)
+                    for a, c in zip(state.h, h_target)))
             last_dist = jax.tree_util.tree_map(lambda a: a[-1], full_dist)
+            if do_ftrim:
+                final_lat = sl.trim_sequence_lattice(seqlat, ftrim_caps)
+                red_final = (reduced_all[-1, : ftrim_caps[0]] if batched_pn
+                             else reduced_all[-1])
+            else:
+                final_lat, red_final = seqlat, reduced_all[-1]
 
             @_maybe_remat
             def step_final(carry, v, m, d, red):
                 (logp, sv), carry, aux = model.apply(
                     params, None, v, m, carry, final=True,
-                    deterministic=deterministic, pre=(seqlat, d),
+                    deterministic=deterministic, pre=(final_lat, d),
                     pre_reduced=_red(red), rngs=rngs)
                 return logp, sv, carry, aux
 
             logp, sv, state, aux = step_final(state, values[-1], mask[-1],
-                                              last_dist, reduced_all[-1])
+                                              last_dist, red_final)
             aux["trim_overflow"] = trim_overflow
             aux["vertex_overflow"] = aux["vertex_overflow"] | trim_overflow
             return logp, sv, aux

@@ -57,6 +57,22 @@ def test_runtime_trim_capacity(tmp_path):
     assert rt.trim_capacities(2) == (36864, 18432, 9216)
 
 
+def test_runtime_final_capacity(tmp_path):
+    """final_capacity_level0 is settable from the cfg runtime section and
+    defaults to 0 (off) when absent."""
+    base = open("seq_config/lnn_train_semantic_kitti.cfg").read()
+    assert runtime_config_from_cfg(
+        cfgParser("seq_config/lnn_train_semantic_kitti.cfg")
+    ).final_capacity_level0 == 0
+    mod = base.replace("runtime: {",
+                       "runtime: {\n    final_capacity_level0: 40960", 1)
+    path = tmp_path / "ftrim.cfg"
+    path.write_text(mod)
+    rt = runtime_config_from_cfg(cfgParser(str(path)))
+    assert rt.final_capacity_level0 == 40960
+    assert rt.final_capacities(2) == (40960, 20480, 10240)
+
+
 def test_hjson_extras():
     """hjson features beyond the shipped configs' subset: # comments,
     single-quoted and ''' multiline strings (VERDICT r2 missing item 4)."""

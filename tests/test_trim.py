@@ -68,6 +68,33 @@ def test_trim_overflow_flag(rng):
     assert bool(aux["vertex_overflow"])
 
 
+def test_final_trim_matches_full_forward(rng):
+    # the FINAL frame on a [0, final_cap) prefix: same birth-sorted-prefix
+    # argument with counts[T-1]; exact up to f32 reduction order
+    cfg = tiny_cfg()
+    _, state, _ = engine.create_train_state(cfg, _rt(), 1e-3, 0.0)
+    seq = _seq(rng)
+
+    logp_full, sv_full, _ = _forward(cfg, _rt(), state.params, seq)
+    for kw in (dict(final_capacity_level0=768),
+               dict(trim_capacity_level0=640, final_capacity_level0=768),
+               # final trim below the non-final trim exercises the h slice
+               dict(trim_capacity_level0=768, final_capacity_level0=704)):
+        logp_t, sv_t, aux_t = _forward(cfg, _rt(**kw), state.params, seq)
+        assert not bool(aux_t["trim_overflow"]), kw
+        np.testing.assert_allclose(np.asarray(sv_t), np.asarray(sv_full),
+                                   rtol=2e-5, atol=2e-5, err_msg=str(kw))
+
+
+def test_final_trim_overflow_flag(rng):
+    cfg = tiny_cfg()
+    rt = _rt(final_capacity_level0=64, min_capacity=64)
+    _, state, _ = engine.create_train_state(cfg, rt, 1e-3, 0.0)
+    _, _, aux = _forward(cfg, rt, state.params, _seq(rng))
+    assert bool(aux["trim_overflow"])
+    assert bool(aux["vertex_overflow"])
+
+
 def test_trim_grad_matches(rng):
     # the BPTT backward through the trimmed scan must agree with the
     # full-capacity backward (same activations, fewer padded rows)
