@@ -518,23 +518,34 @@ def _merge_lookup(sorted_packed: jax.Array, q: jax.Array) -> jax.Array:
         jnp.where(is_table, n_q, sp - n_t)].set(found, mode="drop")
 
 
-def _build_level(packed_final, birth_final, counts, n_frames):
+def _build_level(packed_final, birth_final, counts, n_frames,
+                 nbr_rows: int | None = None):
     """Neighbor structure for a finalised level.
 
     NOTE: indices are in birth-then-packed order, so the table is NOT
-    globally packed-sorted; lookups sort internally (merge lookup)."""
+    globally packed-sorted; lookups sort internally (merge lookup).
+
+    ``nbr_rows`` (static, <= capacity) restricts the neighbor tables to the
+    [0, nbr_rows) row prefix -- fewer lookup queries and a smaller inverse
+    scatter.  Sound whenever every REAL vertex has index < nbr_rows (the
+    engine passes max(trim, final) capacities, whose undersizing is already
+    surfaced as trim_overflow): rows past nbr_rows are then dead slots
+    whose queries could only produce dead edges.  The full-capacity
+    ``keys``/``birth`` stay intact for the coarse-level candidate pass.
+    """
     cap = packed_final.shape[0]
     keys = unpack_keys(packed_final)
+    nr = cap if nbr_rows is None else min(nbr_rows, cap)
 
     # One-hop offsets come in +/- pairs ([+o_0..+o_d, -o_0..-o_d],
     # pm.neighbor_offsets): if B = A + o_a then A = B - o_a, so only the
     # POSITIVE half is looked up and the negative half is its scatter
-    # inverse -- half the MXU-lookup volume for one cap*4-row scatter
+    # inverse -- half the MXU-lookup volume for one nr*4-row scatter
     # (lookups dominated the nbr stage, scripts/profile_build_split.py).
     offs = jnp.asarray(pm.neighbor_offsets(3))
     n_half = offs.shape[0] // 2
-    queries = (keys[:, None, :] + offs[None, :n_half, :]
-               ).reshape(cap * n_half, 3)
+    queries = (keys[:nr, None, :] + offs[None, :n_half, :]
+               ).reshape(nr * n_half, 3)
     qpacked = pack_keys(queries)
     # Sort the table once, then batched MXU lookups (no random gathers).
     # Stable index and birth ride the SAME one-hot contraction as payload
@@ -545,35 +556,37 @@ def _build_level(packed_final, birth_final, counts, n_frames):
     pos, (st, bi) = mxu_lookup_select(
         s_packed, qpacked, payloads=(s_stable, s_birth),
         payload_bits=(max(int(cap - 1).bit_length(), 1), 8))
-    pos = pos.reshape(cap, n_half)
-    valid_self = packed_final != PACKED_SENTINEL
+    pos = pos.reshape(nr, n_half)
+    valid_self = packed_final[:nr] != PACKED_SENTINEL
     fwd_found = (pos >= 0) & valid_self[:, None]
-    fwd_idx = jnp.where(fwd_found, st.reshape(cap, n_half), -1)
-    fwd_birth = bi.reshape(cap, n_half)
+    fwd_idx = jnp.where(fwd_found, st.reshape(nr, n_half), -1)
+    fwd_birth = bi.reshape(nr, n_half)
 
     # reverse edges: nbr[B, n_half + a] = A wherever nbr[A, a] = B.  A's
     # stable index (< 2^24) and birth pack into one int32 so ONE scatter
     # carries both; each (B, a) slot has at most one writer (A = B - o_a
-    # is unique), and -1 marks empty slots.
+    # is unique), and -1 marks empty slots.  Hits past the prefix (only
+    # possible when nbr_rows undersizes, which is flagged upstream) drop.
     a_idx = jnp.broadcast_to(
-        jnp.arange(n_half, dtype=jnp.int32)[None, :], (cap, n_half))
-    dstf = jnp.where(fwd_found, fwd_idx * n_half + a_idx, cap * n_half)
+        jnp.arange(n_half, dtype=jnp.int32)[None, :], (nr, n_half))
+    dstf = jnp.where(fwd_found & (fwd_idx < nr),
+                     fwd_idx * n_half + a_idx, nr * n_half)
     src = jnp.broadcast_to(
-        stable[:, None] | (birth_final[:, None] << 24), (cap, n_half))
-    buf = jnp.full((cap * n_half + 1,), -1, jnp.int32).at[
+        stable[:nr, None] | (birth_final[:nr, None] << 24), (nr, n_half))
+    buf = jnp.full((nr * n_half + 1,), -1, jnp.int32).at[
         dstf.reshape(-1)].set(src.reshape(-1))
-    rev = buf[: cap * n_half].reshape(cap, n_half)
+    rev = buf[: nr * n_half].reshape(nr, n_half)
     rev_found = (rev >= 0) & valid_self[:, None]
     rev_idx = jnp.where(rev_found, rev & 0xFFFFFF, -1)
     rev_birth = rev >> 24
 
-    self_idx = jnp.arange(cap, dtype=jnp.int32)
+    self_idx = jnp.arange(nr, dtype=jnp.int32)
     idx = jnp.concatenate([jnp.maximum(fwd_idx, 0), jnp.maximum(rev_idx, 0),
                            self_idx[:, None]], axis=1)
     found = jnp.concatenate([fwd_found, rev_found, valid_self[:, None]],
                             axis=1)
     all_birth = jnp.concatenate([fwd_birth, rev_birth,
-                                 birth_final[:, None]], axis=1)
+                                 birth_final[:nr, None]], axis=1)
     nbr_birth = jnp.where(found, all_birth, n_frames)
 
     return SeqLevel(keys=keys, birth=birth_final, counts=counts,
@@ -583,11 +596,15 @@ def _build_level(packed_final, birth_final, counts, n_frames):
 
 def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
                            capacities, nr_downsamples: int,
-                           subtract_local_mean: bool = True) -> SeqLattice:
+                           subtract_local_mean: bool = True,
+                           nbr_caps=None) -> SeqLattice:
     """Args:
       positions: (T, P, 3) f32 padded frames.
       mask: (T, P) bool.
       capacities: per-level static table sizes.
+      nbr_caps: optional per-level neighbor-table row prefixes (see
+        ``_build_level``); the engine passes max(trim, final) capacities
+        when every model apply consumes trimmed views.
 
     Returns a SeqLattice with all levels finalised and per-frame distribute
     outputs (matching ``lattice_ops.distribute``'s row semantics per frame).
@@ -640,7 +657,8 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
 
     levels = []
     links = []
-    lvl0, _ = _build_level(packed0, birth0, counts0, t_frames)
+    nbr0 = None if nbr_caps is None else nbr_caps[0]
+    lvl0, _ = _build_level(packed0, birth0, counts0, t_frames, nbr0)
     levels.append(lvl0)
 
     packed_f, birth_f = packed0, birth0
@@ -672,7 +690,8 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
             LevelLink(corner_idx=corner_idx, corner_bary=corner_bary),
             cap_c))
 
-        lvl, _ = _build_level(packed_c, birth_c, counts_c, t_frames)
+        lvl, _ = _build_level(packed_c, birth_c, counts_c, t_frames,
+                              None if nbr_caps is None else nbr_caps[l + 1])
         levels.append(lvl)
         packed_f, birth_f = packed_c, birth_c
 

@@ -96,23 +96,12 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
         t = positions.shape[0]
 
         if precompute:
-            seqlat = sl.build_sequence_lattice(
-                positions, mask, rt.sigma, caps, cfg.nr_downsamples,
-                subtract_local_mean=subtract_mean)
             # r3 trimmed-frame capacities: frames 0..T-2 run the network on
             # [0, trim_cap) row prefixes (birth-sorted indices make the
             # prefix complete for those frames -- sl.trim_sequence_lattice).
-            # The final frame always runs at full capacity.
             trim_caps = rt.trim_capacities(cfg.nr_downsamples)
             do_trim = trim_caps is not None and t > 1 and any(
                 tc < c for tc, c in zip(trim_caps, caps))
-            # undersized trim caps exclude late-born vertices from the
-            # trimmed frames' compute: surface it exactly like a saturated
-            # vertex table, never silently
-            trim_overflow = (jnp.any(jnp.stack(
-                [seqlat.levels[l].counts[-2] > trim_caps[l]
-                 for l in range(cfg.nr_downsamples + 1)]))
-                if do_trim else jnp.asarray(False))
             # r3: FINAL-frame trim -- the full capacity only sizes the union
             # build's overflow headroom; the last frame's network runs on
             # [0, final_cap) prefixes (complete because indices are
@@ -120,6 +109,24 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
             ftrim_caps = rt.final_capacities(cfg.nr_downsamples)
             do_ftrim = ftrim_caps is not None and any(
                 fc < c for fc, c in zip(ftrim_caps, caps))
+            # when EVERY model apply consumes a trimmed view, the neighbor
+            # tables only ever need the max(trim, final) row prefix --
+            # fewer build-stage lookup queries and a smaller inverse scatter
+            all_trimmed = do_ftrim and (do_trim or t == 1)
+            nbr_caps = (tuple(max(tc, fc) for tc, fc in
+                              zip(trim_caps, ftrim_caps))
+                        if all_trimmed and do_trim else
+                        (ftrim_caps if all_trimmed else None))
+            seqlat = sl.build_sequence_lattice(
+                positions, mask, rt.sigma, caps, cfg.nr_downsamples,
+                subtract_local_mean=subtract_mean, nbr_caps=nbr_caps)
+            # undersized trim caps exclude late-born vertices from the
+            # trimmed frames' compute: surface it exactly like a saturated
+            # vertex table, never silently
+            trim_overflow = (jnp.any(jnp.stack(
+                [seqlat.levels[l].counts[-2] > trim_caps[l]
+                 for l in range(cfg.nr_downsamples + 1)]))
+                if do_trim else jnp.asarray(False))
             if do_ftrim:
                 trim_overflow = trim_overflow | jnp.any(jnp.stack(
                     [seqlat.levels[l].counts[-1] > ftrim_caps[l]
