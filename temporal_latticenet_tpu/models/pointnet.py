@@ -193,11 +193,17 @@ class PointNetSeq(nn.Module):
         cfg = self.cfg
         cd = jnp.dtype(cfg.compute_dtype)
         t, p, v = values.shape
-        vals_flat = jnp.repeat(values.reshape(t * p, v), 4, axis=0)
-        bary_flat = row_bary.reshape(-1)
-        vb = jnp.concatenate([vals_flat, bary_flat[:, None]], 1)[spn.so]
-        vals_s = vb[:, :v] * spn.live[:, None]
-        bary_s = vb[:, v]
+        if spn.vals is not None:
+            # values + bary rode the union's sorts (seq_lattice pn_values):
+            # same bits as the gather below, zero indexed rows
+            vals_s = spn.vals * spn.live[:, None]
+            bary_s = jnp.where(spn.live, spn.bary, 0.0)
+        else:
+            vals_flat = jnp.repeat(values.reshape(t * p, v), 4, axis=0)
+            bary_flat = row_bary.reshape(-1)
+            vb = jnp.concatenate([vals_flat, bary_flat[:, None]], 1)[spn.so]
+            vals_s = vb[:, :v] * spn.live[:, None]
+            bary_s = vb[:, v]
 
         x = jnp.concatenate([spn.rel, vals_s], axis=-1).astype(cd)
         for i, width in enumerate(cfg.pointnet_layers):

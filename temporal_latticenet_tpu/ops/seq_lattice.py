@@ -65,6 +65,12 @@ class SortedPN:
     head_vf: jax.Array   # (Q,) bool (vertex, frame) sub-run head flags
     bucket: jax.Array    # (Q,) int32 frame*cap + vertex slot (T*cap if dead)
     tailpos: jax.Array   # (T, cap) int32 sorted position of bucket tail
+    # point values + barycentric weights pre-carried through the union's
+    # sorts (r3: rides 2 extra sort operands instead of the pointnet's
+    # (Q, v+1)-row gather by ``so`` -- fewer indexed rows, same bits).
+    # None when the build was not given ``pn_values``.
+    vals: jax.Array | None = None   # (Q, v) f32, sorted, UNmasked
+    bary: jax.Array | None = None   # (Q,) f32, sorted, UNmasked
 
 
 @flax.struct.dataclass
@@ -218,6 +224,60 @@ def _seg_copy_tail_rows(tail: jax.Array, val: jax.Array) -> jax.Array:
 # set-scatter.  Chosen by TPU A/B (scripts/profile_union.py); scatters are
 # serial per source row (~15-30 ns) while 2M-row sorts are ~2-3 ms.
 HEAD_TABLE_MODE = "sort"
+# Dense-placement strategy for the two remaining hot scatters (the nbr
+# inverse edges and the mean-mode (T*cap, 5) table): "scatter" = XLA
+# .at[].set (~30 ns per source row, serial); "sort" = place_by_sort's two
+# multi-operand sorts over (size + writes) rows (~2-3 ns/row/operand).
+# A/B knob: TLN_PLACE_MODE=scatter|sort.  TPU A/B at bench scale
+# (/tmp/place_ab.log, r3): scatter 100.3 ms vs sort 102.2 ms -- these
+# scatters have few source rows relative to the sort's (size + n) volume,
+# so the serial scatter wins; "sort" kept as a measured knob only.
+def _place_mode() -> str:
+    import os
+    return os.environ.get("TLN_PLACE_MODE", "scatter")
+
+
+def place_by_sort(dst: jax.Array, payloads, size: int, fills):
+    """Dense placement without a scatter: ``out[k][dst[j]] = payloads[k][j]``
+    for ``dst[j]`` in [0, size); slots nobody writes hold ``fills[k]``.
+
+    Requires at most ONE writer per slot (both call sites guarantee it:
+    inverse neighbor edges have a unique pre-image, and the mean table's
+    writers are distinct run tails).  With duplicate writers the FIRST
+    (stable order) wins, vs an unspecified winner for an XLA set-scatter.
+
+    Mechanics: slot markers (key 2*i) and writes (key 2*dst+1, out-of-range
+    writes key 2*size+1) are sorted together; a write for slot i then sits
+    immediately after its marker, so a shifted compare pairs them, and one
+    more sort compacts the slot rows (whose keys are ascending) back to the
+    front.  Two (size+n)-row sorts replace an n-row serial scatter; XLA
+    scatters cost ~30 ns per source row while sort passes move ~2-3 ns/row
+    per operand (measured, scripts/profile_r2.py), so this wins whenever
+    n is within a few multiples of size.
+    """
+    n = dst.shape[0]
+    skey = (jnp.arange(size, dtype=jnp.uint32) << 1)
+    ok = (dst >= 0) & (dst < size)
+    wkey = jnp.where(ok, (dst.astype(jnp.uint32) << 1) | jnp.uint32(1),
+                     jnp.uint32(2 * size + 1))
+    keys = jnp.concatenate([skey, wkey])
+    ops = [keys]
+    for p_, f in zip(payloads, fills):
+        ops.append(jnp.concatenate(
+            [jnp.full((size,), f, p_.dtype), p_]))
+    srt = jax.lax.sort(tuple(ops), dimension=0, num_keys=1)
+    ks_ = srt[0]
+    is_slot = (ks_ & 1) == 0
+    paired = jnp.concatenate([ks_[1:] == ks_[:-1] + 1,
+                              jnp.zeros((1,), bool)])
+    take = is_slot & paired
+    ck = jnp.where(is_slot, ks_ >> 1, jnp.uint32(0xFFFFFFFF))
+    vals = []
+    for p_, f in zip(srt[1:], fills):
+        shifted = jnp.concatenate([p_[1:], p_[-1:]])
+        vals.append(jnp.where(take, shifted, jnp.asarray(f, p_.dtype)))
+    out = jax.lax.sort((ck,) + tuple(vals), dimension=0, num_keys=1)
+    return tuple(v[:size] for v in out[1:])
 # Per-(vertex, frame) mean strategy: "table" = ONE forward segmented scan +
 # widened tail scatter + per-row gather; "scan" = the r2 two-scan version
 # (forward seg-sum + backward tail-copy); "table_bwd" = forward scan +
@@ -300,7 +360,8 @@ def _union_with_birth(cand_packed: jax.Array, cand_order: jax.Array,
 
 
 def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
-                               capacity: int, n_frames: int):
+                               capacity: int, n_frames: int,
+                               extra_rows: jax.Array | None = None):
     """Level-0 union that also computes each row's position relative to its
     per-(vertex, frame) mean INSIDE the union's own sorted order.
 
@@ -327,9 +388,12 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     q = cand_packed.shape[0]
     per_frame = q // n_frames
     rows = jnp.arange(q, dtype=jnp.int32)
-    sp, so, px, py, pz = jax.lax.sort(
-        (cand_packed, rows, pos_rows[:, 0], pos_rows[:, 1], pos_rows[:, 2]),
-        dimension=0, num_keys=1)
+    n_extra = 0 if extra_rows is None else extra_rows.shape[1]
+    ex_cols = () if extra_rows is None else tuple(
+        extra_rows[:, i] for i in range(n_extra))
+    sp, so, px, py, pz, *ex1 = jax.lax.sort(
+        (cand_packed, rows, pos_rows[:, 0], pos_rows[:, 1], pos_rows[:, 2])
+        + ex_cols, dimension=0, num_keys=1)
     birth_rows = (so // per_frame).astype(jnp.int32)
 
     valid = sp != PACKED_SENTINEL
@@ -337,8 +401,8 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     birth = _seg_copy_head(head, jnp.where(valid, birth_rows, n_frames))
     birth = jnp.where(valid, birth, n_frames).astype(jnp.int32)
 
-    b2, k2, so2, px2, py2, pz2 = jax.lax.sort(
-        (birth.astype(jnp.uint32), sp, so, px, py, pz),
+    b2, k2, so2, px2, py2, pz2, *ex2 = jax.lax.sort(
+        (birth.astype(jnp.uint32), sp, so, px, py, pz) + tuple(ex1),
         dimension=0, num_keys=2)
     valid2 = k2 != PACKED_SENTINEL
     head2 = valid2 & jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
@@ -397,8 +461,15 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
                                     for a in (s0, s1, s2, s3, spos))
         dd = jnp.where(sk[:m] != jnp.uint32(0xFFFFFFFF),
                        sk[:m].astype(jnp.int32), m)
-        buf = jnp.zeros((m + 1, 5), jnp.float32).at[dd].set(
-            jnp.stack([s0[:m], s1[:m], s2[:m], s3[:m], spos[:m]], axis=1))
+        if _place_mode() == "sort":
+            outs = place_by_sort(dd, (s0[:m], s1[:m], s2[:m], s3[:m],
+                                      spos[:m]), m, (0.0,) * 5)
+            buf = jnp.concatenate([jnp.stack(outs, axis=1),
+                                   jnp.zeros((1, 5), jnp.float32)])
+        else:
+            buf = jnp.zeros((m + 1, 5), jnp.float32).at[dd].set(
+                jnp.stack([s0[:m], s1[:m], s2[:m], s3[:m], spos[:m]],
+                          axis=1))
         import os
         if os.environ.get("TLN_PROFILE_SKIP_MEAN_GATHER") == "1":
             # PROFILING ONLY (wrong results): measures the Q-row table
@@ -457,7 +528,9 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
         & (packed_final != PACKED_SENTINEL)[None, :], axis=1).astype(jnp.int32)
     sorted_pn = (None if tailpos is None else SortedPN(
         rel=rel2, so=so2, live=fits, head_vf=head_vf, bucket=bucket,
-        tailpos=tailpos))
+        tailpos=tailpos,
+        vals=(jnp.stack(ex2[:-1], axis=1) if n_extra else None),
+        bary=(ex2[-1] if n_extra else None)))
     return packed_final, birth_final, row_idx, counts, rel, nr_points, \
         sorted_pn
 
@@ -573,9 +646,14 @@ def _build_level(packed_final, birth_final, counts, n_frames,
                      fwd_idx * n_half + a_idx, nr * n_half)
     src = jnp.broadcast_to(
         stable[:nr, None] | (birth_final[:nr, None] << 24), (nr, n_half))
-    buf = jnp.full((nr * n_half + 1,), -1, jnp.int32).at[
-        dstf.reshape(-1)].set(src.reshape(-1))
-    rev = buf[: nr * n_half].reshape(nr, n_half)
+    if _place_mode() == "sort":
+        (rev_flat,) = place_by_sort(dstf.reshape(-1), (src.reshape(-1),),
+                                    nr * n_half, (-1,))
+        rev = rev_flat.reshape(nr, n_half)
+    else:
+        buf = jnp.full((nr * n_half + 1,), -1, jnp.int32).at[
+            dstf.reshape(-1)].set(src.reshape(-1))
+        rev = buf[: nr * n_half].reshape(nr, n_half)
     rev_found = (rev >= 0) & valid_self[:, None]
     rev_idx = jnp.where(rev_found, rev & 0xFFFFFF, -1)
     rev_birth = rev >> 24
@@ -597,7 +675,8 @@ def _build_level(packed_final, birth_final, counts, n_frames,
 def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
                            capacities, nr_downsamples: int,
                            subtract_local_mean: bool = True,
-                           nbr_caps=None) -> SeqLattice:
+                           nbr_caps=None,
+                           pn_values: jax.Array | None = None) -> SeqLattice:
     """Args:
       positions: (T, P, 3) f32 padded frames.
       mask: (T, P) bool.
@@ -605,6 +684,12 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
       nbr_caps: optional per-level neighbor-table row prefixes (see
         ``_build_level``); the engine passes max(trim, final) capacities
         when every model apply consumes trimmed views.
+      pn_values: optional (T, P, v) f32 point values; when given (and the
+        mean path is on) they ride the union's sorts together with the
+        barycentric weights, so the batched pointnet reads
+        ``sorted_pn.vals``/``.bary`` instead of paying a (Q, v+1)-row
+        gather by ``so`` (bit-identical: stable sorts move every operand
+        by one shared permutation).
 
     Returns a SeqLattice with all levels finalised and per-frame distribute
     outputs (matching ``lattice_ops.distribute``'s row semantics per frame).
@@ -637,10 +722,18 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
         # positions ride the union's sorts; the per-(vertex, frame) mean
         # comes from segmented scans instead of scatter/gather passes
         # (103 -> ~25 ms at bench scale, scripts/profile_r2.py)
+        extra_rows = None
+        if pn_values is not None:
+            v = pn_values.shape[-1]
+            vals_rows = jnp.repeat(
+                pn_values.reshape(t_frames * p, v), dp1, axis=0)
+            extra_rows = jnp.concatenate(
+                [vals_rows, bary.reshape(-1, 1)], axis=1)
         packed0, birth0, row_idx, counts0, rel_flat, nr_points, sorted_pn \
             = _union_with_birth_and_mean(cand_packed,
                                          pos_rows.reshape(-1, 3),
-                                         cap0, t_frames)
+                                         cap0, t_frames,
+                                         extra_rows=extra_rows)
         rel = rel_flat.reshape(t_frames, p * dp1, 3)
         row_vertex = row_idx.reshape(t_frames, p * dp1)
         row_valid = rvalid & (row_vertex > 0)

@@ -275,3 +275,75 @@ def test_blocked_seg_scan_matches_associative_scan(rng):
         np.testing.assert_allclose(
             np.asarray(sl._blocked_seg_scan(comb_sum, head, vk)),
             np.asarray(refk), rtol=1e-5, atol=1e-5)
+
+
+def test_place_by_sort_matches_scatter(rng):
+    """place_by_sort == XLA set-scatter for unique writers, incl. dumped
+    out-of-range destinations, empty slots, and mixed payload dtypes."""
+    size = 777
+    for n, frac in ((1500, 0.4), (300, 0.9), (size, 1.0)):
+        dst_pool = rng.permutation(size)[: int(size * frac)]
+        dst = np.full((n,), size + 3, np.int32)          # default: dumped
+        k = min(n, dst_pool.size)
+        dst[:k] = dst_pool[:k]
+        dst[rng.random(n) < 0.1] = -1                    # negative: dumped
+        pf = rng.normal(size=(n,)).astype(np.float32)
+        pi = rng.integers(-5, 5, size=(n,)).astype(np.int32)
+
+        got_f, got_i = sl.place_by_sort(
+            jnp.asarray(dst), (jnp.asarray(pf), jnp.asarray(pi)), size,
+            (0.0, -1))
+        ref_f = np.zeros((size + 1,), np.float32)
+        ref_i = np.full((size + 1,), -1, np.int32)
+        ok = (dst >= 0) & (dst < size)
+        ref_f[np.where(ok, dst, size)] = np.where(ok, pf, 0.0)
+        ref_i[np.where(ok, dst, size)] = np.where(ok, pi, -1)
+        np.testing.assert_array_equal(np.asarray(got_f), ref_f[:size])
+        np.testing.assert_array_equal(np.asarray(got_i), ref_i[:size])
+
+
+def test_place_mode_variants_identical(rng, monkeypatch):
+    """The full sequence build is bit-identical under TLN_PLACE_MODE
+    sort vs scatter (inverse nbr edges + the mean table placement)."""
+    pos, msk = _seq(rng)
+    outs = {}
+    for mode in ("sort", "scatter"):
+        monkeypatch.setenv("TLN_PLACE_MODE", mode)
+        outs[mode] = jax.jit(lambda p, m: sl.build_sequence_lattice(
+            p, m, SIGMA, CAPS, 2, nbr_caps=(512, 384, 256)))(pos, msk)
+    a, b = outs["sort"], outs["scatter"]
+    for la, lb in zip(a.levels, b.levels):
+        for f in ("keys", "birth", "counts", "nbr_idx", "nbr_found",
+                  "nbr_birth"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(la, f)), np.asarray(getattr(lb, f)),
+                err_msg=f"level field {f}")
+    np.testing.assert_array_equal(np.asarray(a.nr_points),
+                                  np.asarray(b.nr_points))
+    for f in ("rel", "so", "live", "head_vf", "bucket", "tailpos"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a.sorted_pn, f)),
+            np.asarray(getattr(b.sorted_pn, f)), err_msg=f"sorted_pn.{f}")
+
+
+def test_sorted_vals_match_gather_path(rng):
+    """pn_values carried through the union sorts must equal the pointnet's
+    (Q, v+1)-row gather by ``so`` bit-for-bit (stable sorts move all
+    operands by one shared permutation)."""
+    pos, msk = _seq(rng)
+    vals = jnp.asarray(
+        rng.random((pos.shape[0], pos.shape[1], 2)).astype(np.float32))
+    lat = sl.build_sequence_lattice(pos, msk, SIGMA, CAPS, 2,
+                                    pn_values=vals)
+    spn = lat.sorted_pn
+    assert spn.vals is not None and spn.bary is not None
+    v = vals.shape[-1]
+    vals_flat = jnp.repeat(vals.reshape(-1, v), 4, axis=0)
+    vb = jnp.concatenate([vals_flat, lat.row_bary.reshape(-1, 1)],
+                         1)[spn.so]
+    np.testing.assert_array_equal(
+        np.asarray(vb[:, :v] * spn.live[:, None]),
+        np.asarray(spn.vals * spn.live[:, None]))
+    np.testing.assert_array_equal(
+        np.asarray(vb[:, v]),
+        np.asarray(jnp.where(spn.live, spn.bary, 0.0)))
