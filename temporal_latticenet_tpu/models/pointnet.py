@@ -194,8 +194,11 @@ class PointNetSeq(nn.Module):
         cd = jnp.dtype(cfg.compute_dtype)
         t, p, v = values.shape
         if spn.vals is not None:
-            # values + bary rode the union's sorts (seq_lattice pn_values):
-            # same bits as the gather below, zero indexed rows
+            # values + bary rode the union's sorts packed into uint32
+            # operands (seq_lattice pn_values): bit-identical to the
+            # gather below (vals bf16 = this concat's own cast; bary on
+            # the 1/65535 grid = the packed max's own quantisation),
+            # zero indexed rows
             vals_s = spn.vals * spn.live[:, None]
             bary_s = jnp.where(spn.live, spn.bary, 0.0)
         else:

@@ -66,11 +66,13 @@ class SortedPN:
     bucket: jax.Array    # (Q,) int32 frame*cap + vertex slot (T*cap if dead)
     tailpos: jax.Array   # (T, cap) int32 sorted position of bucket tail
     # point values + barycentric weights pre-carried through the union's
-    # sorts (r3: rides 2 extra sort operands instead of the pointnet's
-    # (Q, v+1)-row gather by ``so`` -- fewer indexed rows, same bits).
-    # None when the build was not given ``pn_values``.
-    vals: jax.Array | None = None   # (Q, v) f32, sorted, UNmasked
-    bary: jax.Array | None = None   # (Q,) f32, sorted, UNmasked
+    # sorts (r3: rides ceil((v+1)/2) packed uint32 operands instead of the
+    # pointnet's (Q, v+1)-row gather by ``so``).  Bit-identical downstream:
+    # the MLP casts values to bf16 anyway and the packed segment max
+    # quantises bary to 1/65535 anyway, so packing (bf16 bits, u16 bary)
+    # BEFORE the sorts loses nothing.  None without ``pn_values``.
+    vals: jax.Array | None = None   # (Q, v) bf16, sorted, UNmasked
+    bary: jax.Array | None = None   # (Q,) f32 (1/65535 grid), sorted
 
 
 @flax.struct.dataclass
@@ -330,6 +332,43 @@ def _head_table(head2, fits, urank2, k2, b2, capacity: int, n_frames: int):
     return packed_final, birth_final
 
 
+def _pack_pn_rows(vals_rows: jax.Array, bary_rows: jax.Array) -> jax.Array:
+    """Pack per-row point values + barycentric weight into uint32 sort
+    operands: 16-bit units [bf16(val_0) .. bf16(val_{v-1}), u16(bary)]
+    (zero-padded to even), two units per uint32 (hi first).
+
+    bf16 value bits because the pointnet MLP consumes values at bf16;
+    bary quantised to 1/65535 because ``segment._pack_value_bary`` does
+    exactly that (idempotent re-quantisation) -- so riding packed is
+    bit-identical to riding f32.
+    """
+    q, v = vals_rows.shape
+    units = [jax.lax.bitcast_convert_type(
+        vals_rows[:, i].astype(jnp.bfloat16), jnp.uint16).astype(jnp.uint32)
+        for i in range(v)]
+    units.append((jnp.clip(bary_rows, 0.0, 1.0) * 65535.0
+                  + 0.5).astype(jnp.uint32))
+    if len(units) % 2:
+        units.append(jnp.zeros((q,), jnp.uint32))
+    cols = [(units[2 * j] << 16) | (units[2 * j + 1] & jnp.uint32(0xFFFF))
+            for j in range(len(units) // 2)]
+    return jnp.stack(cols, axis=1)
+
+
+def _unpack_pn_rows(cols, n_vals: int):
+    """Inverse of :func:`_pack_pn_rows` on already-sorted uint32 columns.
+    Returns ((Q, v) bf16 values, (Q,) f32 bary on the 1/65535 grid)."""
+    units = []
+    for col in cols:
+        units.append((col >> 16).astype(jnp.uint16))
+        units.append((col & jnp.uint32(0xFFFF)).astype(jnp.uint16))
+    vals = jnp.stack(
+        [jax.lax.bitcast_convert_type(units[i], jnp.bfloat16)
+         for i in range(n_vals)], axis=1)
+    bary = units[n_vals].astype(jnp.float32) / 65535.0
+    return vals, bary
+
+
 def _union_with_birth(cand_packed: jax.Array, cand_order: jax.Array,
                       capacity: int, n_frames: int):
     """Assign birth-ordered stable indices to unique candidate keys.
@@ -361,7 +400,9 @@ def _union_with_birth(cand_packed: jax.Array, cand_order: jax.Array,
 
 def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
                                capacity: int, n_frames: int,
-                               extra_rows: jax.Array | None = None):
+                               extra_rows: jax.Array | None = None,
+                               n_vals: int = 0,
+                               skip_rel_unsort: bool = False):
     """Level-0 union that also computes each row's position relative to its
     per-(vertex, frame) mean INSIDE the union's own sorted order.
 
@@ -514,11 +555,18 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     rel2 = (jnp.stack([px2, py2, pz2], axis=1) - mean2) * w2[:, None]
     nr_points = nr_points.at[:, 0].set(0.0)
 
-    # back to original row order on the unsort the union needs anyway
-    _, row_idx, rx, ry, rz = jax.lax.sort(
-        (so2, fin, rel2[:, 0], rel2[:, 1], rel2[:, 2]),
-        dimension=0, num_keys=1)
-    rel = jnp.stack([rx, ry, rz], axis=1)
+    # back to original row order on the unsort the union needs anyway.
+    # When the caller's pointnet consumes the SORTED rel (the batched
+    # path reads SortedPN.rel; row_rel_pos has no other consumer), the
+    # unsort drops its three rel operands (~1.2 ms per 2M-row operand).
+    if skip_rel_unsort and tailpos is not None:
+        _, row_idx = jax.lax.sort((so2, fin), dimension=0, num_keys=1)
+        rel = jnp.zeros((q, 3), jnp.float32)
+    else:
+        _, row_idx, rx, ry, rz = jax.lax.sort(
+            (so2, fin, rel2[:, 0], rel2[:, 1], rel2[:, 2]),
+            dimension=0, num_keys=1)
+        rel = jnp.stack([rx, ry, rz], axis=1)
 
     packed_final, birth_final = _head_table(head2, fits, urank2, k2, b2,
                                             capacity, n_frames)
@@ -526,11 +574,12 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     counts = 1 + jnp.sum(
         (birth_final[None, :] <= jnp.arange(n_frames)[:, None])
         & (packed_final != PACKED_SENTINEL)[None, :], axis=1).astype(jnp.int32)
+    pn_vals = pn_bary = None
+    if n_extra and tailpos is not None:
+        pn_vals, pn_bary = _unpack_pn_rows(ex2, n_vals)
     sorted_pn = (None if tailpos is None else SortedPN(
         rel=rel2, so=so2, live=fits, head_vf=head_vf, bucket=bucket,
-        tailpos=tailpos,
-        vals=(jnp.stack(ex2[:-1], axis=1) if n_extra else None),
-        bary=(ex2[-1] if n_extra else None)))
+        tailpos=tailpos, vals=pn_vals, bary=pn_bary))
     return packed_final, birth_final, row_idx, counts, rel, nr_points, \
         sorted_pn
 
@@ -676,7 +725,8 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
                            capacities, nr_downsamples: int,
                            subtract_local_mean: bool = True,
                            nbr_caps=None,
-                           pn_values: jax.Array | None = None) -> SeqLattice:
+                           pn_values: jax.Array | None = None,
+                           want_row_rel: bool = True) -> SeqLattice:
     """Args:
       positions: (T, P, 3) f32 padded frames.
       mask: (T, P) bool.
@@ -686,10 +736,14 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
         when every model apply consumes trimmed views.
       pn_values: optional (T, P, v) f32 point values; when given (and the
         mean path is on) they ride the union's sorts together with the
-        barycentric weights, so the batched pointnet reads
+        barycentric weights -- packed into ceil((v+1)/2) uint32 operands
+        (see ``_pack_pn_rows``) -- so the batched pointnet reads
         ``sorted_pn.vals``/``.bary`` instead of paying a (Q, v+1)-row
-        gather by ``so`` (bit-identical: stable sorts move every operand
-        by one shared permutation).
+        gather by ``so`` (bit-identical downstream: the MLP casts values
+        to bf16 and the packed max quantises bary to 1/65535 anyway).
+      want_row_rel: pass False when no consumer reads ``row_rel_pos``
+        (the batched pointnet reads the SORTED rel); the union's unsort
+        then drops its three rel operands and ``row_rel_pos`` is zeros.
 
     Returns a SeqLattice with all levels finalised and per-frame distribute
     outputs (matching ``lattice_ops.distribute``'s row semantics per frame).
@@ -723,17 +777,19 @@ def build_sequence_lattice(positions: jax.Array, mask: jax.Array, sigma,
         # comes from segmented scans instead of scatter/gather passes
         # (103 -> ~25 ms at bench scale, scripts/profile_r2.py)
         extra_rows = None
+        n_vals = 0
         if pn_values is not None:
-            v = pn_values.shape[-1]
+            n_vals = pn_values.shape[-1]
             vals_rows = jnp.repeat(
-                pn_values.reshape(t_frames * p, v), dp1, axis=0)
-            extra_rows = jnp.concatenate(
-                [vals_rows, bary.reshape(-1, 1)], axis=1)
+                pn_values.reshape(t_frames * p, n_vals), dp1, axis=0)
+            extra_rows = _pack_pn_rows(vals_rows, bary.reshape(-1))
         packed0, birth0, row_idx, counts0, rel_flat, nr_points, sorted_pn \
             = _union_with_birth_and_mean(cand_packed,
                                          pos_rows.reshape(-1, 3),
                                          cap0, t_frames,
-                                         extra_rows=extra_rows)
+                                         extra_rows=extra_rows,
+                                         n_vals=n_vals,
+                                         skip_rel_unsort=not want_row_rel)
         rel = rel_flat.reshape(t_frames, p * dp1, 3)
         row_vertex = row_idx.reshape(t_frames, p * dp1)
         row_valid = rvalid & (row_vertex > 0)

@@ -118,17 +118,20 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                         if all_trimmed and do_trim else
                         (ftrim_caps if all_trimmed else None))
             # feed values into the build when the batched pointnet will
-            # consume them: they ride the union sorts (2 extra operands for
-            # 1-ch reflectance) instead of a (Q, v+1)-row gather afterwards
-            will_batch_pn = (subtract_mean
-                             and getattr(rt, "batched_pointnet", False)
-                             and cfg.experiment == "none"
-                             and cfg.compute_dtype == "bfloat16"
-                             and values.shape[-1] <= 3)
+            # consume them: they ride the union sorts (ONE packed uint32
+            # operand for 1-ch reflectance) instead of a (Q, v+1)-row
+            # gather afterwards.  Any batched pointnet reads the SORTED
+            # rel, so the build can also drop the unsort's rel operands.
+            batch_pn_pre = (subtract_mean
+                            and getattr(rt, "batched_pointnet", False)
+                            and cfg.experiment == "none"
+                            and cfg.compute_dtype == "bfloat16")
+            will_batch_pn = batch_pn_pre and values.shape[-1] <= 3
             seqlat = sl.build_sequence_lattice(
                 positions, mask, rt.sigma, caps, cfg.nr_downsamples,
                 subtract_local_mean=subtract_mean, nbr_caps=nbr_caps,
-                pn_values=values if will_batch_pn else None)
+                pn_values=values if will_batch_pn else None,
+                want_row_rel=not batch_pn_pre)
             # undersized trim caps exclude late-born vertices from the
             # trimmed frames' compute: surface it exactly like a saturated
             # vertex table, never silently

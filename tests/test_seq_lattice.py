@@ -327,23 +327,51 @@ def test_place_mode_variants_identical(rng, monkeypatch):
 
 
 def test_sorted_vals_match_gather_path(rng):
-    """pn_values carried through the union sorts must equal the pointnet's
-    (Q, v+1)-row gather by ``so`` bit-for-bit (stable sorts move all
-    operands by one shared permutation)."""
+    """pn_values carried (uint32-packed) through the union sorts must equal
+    the pointnet's (Q, v+1)-row gather by ``so`` at the precision the
+    consumers use: values at bf16 (the MLP's own cast), bary on the
+    1/65535 grid (the packed max's own quantisation)."""
     pos, msk = _seq(rng)
-    vals = jnp.asarray(
-        rng.random((pos.shape[0], pos.shape[1], 2)).astype(np.float32))
-    lat = sl.build_sequence_lattice(pos, msk, SIGMA, CAPS, 2,
-                                    pn_values=vals)
-    spn = lat.sorted_pn
-    assert spn.vals is not None and spn.bary is not None
-    v = vals.shape[-1]
-    vals_flat = jnp.repeat(vals.reshape(-1, v), 4, axis=0)
-    vb = jnp.concatenate([vals_flat, lat.row_bary.reshape(-1, 1)],
-                         1)[spn.so]
-    np.testing.assert_array_equal(
-        np.asarray(vb[:, :v] * spn.live[:, None]),
-        np.asarray(spn.vals * spn.live[:, None]))
-    np.testing.assert_array_equal(
-        np.asarray(vb[:, v]),
-        np.asarray(jnp.where(spn.live, spn.bary, 0.0)))
+    for v in (1, 2):  # odd: bary pads a u32 half; even: bary fills one
+        vals = jnp.asarray(
+            rng.random((pos.shape[0], pos.shape[1], v)).astype(np.float32))
+        lat = sl.build_sequence_lattice(pos, msk, SIGMA, CAPS, 2,
+                                        pn_values=vals)
+        spn = lat.sorted_pn
+        assert spn.vals is not None and spn.bary is not None
+        assert spn.vals.dtype == jnp.bfloat16
+        vals_flat = jnp.repeat(vals.reshape(-1, v), 4, axis=0)
+        vb = jnp.concatenate([vals_flat, lat.row_bary.reshape(-1, 1)],
+                             1)[spn.so]
+        np.testing.assert_array_equal(
+            np.asarray((vb[:, :v].astype(jnp.bfloat16)
+                        * spn.live[:, None]).astype(np.float32)),
+            np.asarray((spn.vals * spn.live[:, None]).astype(np.float32)))
+        bary_q = (jnp.clip(vb[:, v], 0.0, 1.0) * 65535.0
+                  + 0.5).astype(jnp.uint32).astype(jnp.float32) / 65535.0
+        np.testing.assert_array_equal(
+            np.asarray(jnp.where(spn.live, bary_q, 0.0)),
+            np.asarray(jnp.where(spn.live, spn.bary, 0.0)))
+
+
+def test_want_row_rel_false_matches(rng):
+    """want_row_rel=False zeroes row_rel_pos and drops the unsort's rel
+    operands; every other field must be bit-identical."""
+    pos, msk = _seq(rng)
+    full = sl.build_sequence_lattice(pos, msk, SIGMA, CAPS, 2)
+    slim = sl.build_sequence_lattice(pos, msk, SIGMA, CAPS, 2,
+                                     want_row_rel=False)
+    assert not np.asarray(slim.row_rel_pos).any()
+    np.testing.assert_array_equal(np.asarray(full.row_vertex),
+                                  np.asarray(slim.row_vertex))
+    np.testing.assert_array_equal(np.asarray(full.row_bary),
+                                  np.asarray(slim.row_bary))
+    np.testing.assert_array_equal(np.asarray(full.sorted_pn.rel),
+                                  np.asarray(slim.sorted_pn.rel))
+    np.testing.assert_array_equal(np.asarray(full.nr_points),
+                                  np.asarray(slim.nr_points))
+    for la, lb in zip(full.levels, slim.levels):
+        np.testing.assert_array_equal(np.asarray(la.keys),
+                                      np.asarray(lb.keys))
+        np.testing.assert_array_equal(np.asarray(la.nbr_idx),
+                                      np.asarray(lb.nbr_idx))
