@@ -222,7 +222,8 @@ class PointNetSeq(nn.Module):
 
         mx, bary_sel = seg.sorted_packed_max(
             x, bary_s, spn.live, spn.head_vf, spn.bucket,
-            spn.tailpos, nr_points_all > 0)
+            spn.tailpos, nr_points_all > 0,
+            head_count=getattr(spn, "head_count", None))
         cap = nr_points_all.shape[1]
         c = x.shape[-1]
         reduced = jnp.concatenate([mx.reshape(t, cap, c),

@@ -91,7 +91,7 @@ def _seg_max_kernel(hc_ref, x_ref, out_ref, carry_ref, prev_hc_ref,
 
 
 def _seg_max_kernel_packed(hc2_ref, x2_ref, out_ref, carry_ref, prev_hc_ref,
-                           half: int, c: int):
+                           half: int, c: int, window: int | None = None):
     """Lane-packed path: consecutive row pairs live in one 2C-lane row so
     the VPU runs at full 128-lane width (a bare C=64 wastes half the
     lanes).  The pair's HI half carries its inclusive running max; both
@@ -123,10 +123,16 @@ def _seg_max_kernel_packed(hc2_ref, x2_ref, out_ref, carry_ref, prev_hc_ref,
     # truncation"), so select the i32 comparison TARGET per lane instead:
     # lanes [0:C] compare against the pair's LO run id, lanes [C:2C]
     # against its HI run id.
+    # ``window`` caps the doubling at W packed rows: every row's coverage
+    # is then AT LEAST [max(head, row - 2W + 2), row] original rows (HI
+    # rows get the full 2W window; tile-opening rows extend through the
+    # carry, which itself spans a window before the tile).  The two-level
+    # wrapper (segment.py) fixes longer runs from chunk summaries.
+    limit = half if window is None else min(window, half)
     hc_hi = hcp[:, 1:]
     hc_lane = jnp.where(lanes < c, hcp[:, :1], hc_hi)   # (half, 2C) i32
     step = 1
-    while step < half:
+    while step < limit:
         xh = jnp.concatenate([x2[:, c:], x2[:, c:]], axis=1)
         x_up = pltpu_roll(xh, step)
         hi_up = pltpu_roll(hc_hi, step)
@@ -147,13 +153,20 @@ def _seg_max_kernel_packed(hc2_ref, x2_ref, out_ref, carry_ref, prev_hc_ref,
 
 def sorted_segment_max_i32(head_count: jax.Array, x: jax.Array,
                            tile: int = 2048,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           max_window: int | None = None) -> jax.Array:
     """Inclusive segmented max of int32 rows over contiguous runs.
 
     Args:
       head_count: (Q,) int32 nondecreasing run ids (e.g. inclusive cumsum
         of head flags); rows with equal values form one run.
       x: (Q, C) int32.
+      max_window: optional doubling cap in PACKED rows (power of two,
+        c <= 64 path only).  The output is then a WINDOWED segmented max:
+        row t covers at least the last ``2*max_window - 1`` same-run rows
+        (2*max_window for odd/HI rows) instead of the whole run -- the
+        two-level tail max (segment.sorted_packed_max) corrects long runs
+        from chunk summaries.  Coverage never crosses a run head.
     Returns (Q, C) int32 inclusive segmented running max.
     """
     from jax.experimental import pallas as pl
@@ -167,7 +180,7 @@ def sorted_segment_max_i32(head_count: jax.Array, x: jax.Array,
             [x, jnp.full((pad, c), INT_MIN, jnp.int32)], axis=0)
         head_count = jnp.concatenate([head_count, big], axis=0)
         return sorted_segment_max_i32(head_count, x, tile,
-                                      interpret)[:q]
+                                      interpret, max_window)[:q]
 
     hc = head_count.astype(jnp.int32)
     if c <= 64:
@@ -175,7 +188,8 @@ def sorted_segment_max_i32(head_count: jax.Array, x: jax.Array,
         half = tile // 2
         q2 = q // 2
         out = pl.pallas_call(
-            functools.partial(_seg_max_kernel_packed, half=half, c=c),
+            functools.partial(_seg_max_kernel_packed, half=half, c=c,
+                              window=max_window),
             grid=(q2 // half,),
             in_specs=[
                 pl.BlockSpec((half, 2), lambda i: (i, 0),
@@ -192,6 +206,7 @@ def sorted_segment_max_i32(head_count: jax.Array, x: jax.Array,
         )(hc.reshape(q2, 2), x.reshape(q2, 2 * c))
         return out.reshape(q, c)
 
+    assert max_window is None, "max_window needs the lane-packed path"
     out = pl.pallas_call(
         functools.partial(_seg_max_kernel, tile=tile),
         grid=(q // tile,),
@@ -213,11 +228,12 @@ def sorted_segment_max_i32(head_count: jax.Array, x: jax.Array,
 
 def sorted_segment_max_u32(head_count: jax.Array, packed: jax.Array,
                            tile: int = 2048,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           max_window: int | None = None) -> jax.Array:
     """uint32 segmented max via the order-isomorphic sign-flip to int32."""
     flip = jnp.uint32(0x80000000)
     xi = jax.lax.bitcast_convert_type(packed ^ flip, jnp.int32)
-    oi = sorted_segment_max_i32(head_count, xi, tile, interpret)
+    oi = sorted_segment_max_i32(head_count, xi, tile, interpret, max_window)
     return jax.lax.bitcast_convert_type(oi, jnp.uint32) ^ flip
 
 
@@ -293,6 +309,114 @@ def _seg_scan_kernel_lanes(hcl_ref, x_ref, out_ref, carry_ref, prev_hc_ref,
     out_ref[:] = x
     carry_ref[:] = x[-1:, 128 - c:]
     prev_hc_ref[0, 0] = hcl[rows - 1, 127]
+
+
+def _seg_scan_kernel_laneonly(hcl_ref, x_ref, out_ref, rows: int, c: int,
+                              mode: str):
+    """Lane-phase-only segmented scan: each packed row's G = 128 // c
+    original rows scan independently (the scan RESETS at packed-row
+    boundaries as well as at run heads).  No sublane phase, no carry --
+    log2(G) passes instead of log2(G) + log2(rows) + 1."""
+    comb, _ident = _COMBINE[mode]
+    x = x_ref[:]                                   # (rows, 128)
+    hcl = hcl_ref[:]                               # (rows, 128) run ids
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+    step = c
+    while step < 128:
+        x_up = pltpu_roll_lanes(x, step)
+        hc_up = pltpu_roll_lanes(hcl, step)
+        same = (hc_up == hcl) & (lanes >= step)
+        x = jnp.where(same, comb(x_up, x) if mode != "first" else x_up, x)
+        step *= 2
+    out_ref[:] = x
+
+
+def sorted_segment_scan_chunked(head_count: jax.Array, x: jax.Array,
+                                mode: str, rows: int = 512,
+                                interpret: bool = False):
+    """Per-CHUNK segmented inclusive scan, chunk = G = 128 // C original
+    rows: row t covers exactly [max(run head, chunk start), t].  One
+    lane-only pass (log2(G) VPU steps, no sublane doubling, no carry).
+
+    Building block for exact tail-targeted reductions: chunk-END rows
+    cover exactly their chunk's same-run rows, so a (Q/G)-row segmented
+    scan over them chains whole runs without overlap (see
+    ``seg_sum_tails``)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    q, c = x.shape
+    assert 128 % c == 0, c
+    g = 128 // c
+    chunk = rows * g
+    if q % chunk != 0:
+        pad = chunk - q % chunk
+        big = head_count[-1] + jnp.arange(1, pad + 1, dtype=jnp.int32)
+        _, ident = _COMBINE[mode]
+        x = jnp.concatenate(
+            [x, jnp.full((pad, c), ident, x.dtype)], axis=0)
+        head_count = jnp.concatenate([head_count, big], axis=0)
+        return sorted_segment_scan_chunked(head_count, x, mode, rows,
+                                           interpret)[:q]
+
+    qp = q // g
+    hcl = jnp.repeat(head_count.astype(jnp.int32).reshape(qp, g), c, axis=1)
+    out = pl.pallas_call(
+        functools.partial(_seg_scan_kernel_laneonly, rows=rows, c=c,
+                          mode=mode),
+        grid=(qp // rows,),
+        in_specs=[
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, 128), x.dtype),
+        interpret=interpret,
+    )(hcl, x.reshape(qp, 128))
+    return out.reshape(q, c)
+
+
+def seg_sum_tails(head_count: jax.Array, x: jax.Array, tails: jax.Array,
+                  rows: int = 512, interpret: bool = False) -> jax.Array:
+    """EXACT per-run sums of ``x`` evaluated at ``tails`` row positions.
+
+    The one-pass inclusive scan computes a running sum at EVERY row, but
+    the union's mean path only reads run totals at tail rows (the mean
+    table compaction).  Two cheaper levels instead:
+
+      1. the lane-only chunk scan: row t sums [max(head, chunk start), t]
+         (G = 128 // C original rows per chunk, log2(G) passes);
+      2. a (Q/G)-row segmented scan over chunk-end rows: chunk ends cover
+         exactly their chunk's same-run rows, so the chain sums a run
+         from its head to any chunk end -- no overlap, EXACT;
+      3. per tail: total = chunk_scan[tail] + chain[previous chunk end]
+         when that chunk end is the same run (4 small gathers).
+
+    Args:
+      head_count: (Q,) int32 nondecreasing run ids.
+      x: (Q, C) f32, C a power of two dividing 128.
+      tails: (B,) int32 row positions (garbage positions allowed; callers
+        mask the output).
+    Returns (B, C) per-run totals at the tail rows.
+    """
+    q, c = x.shape
+    g = 128 // c
+    capped = sorted_segment_scan_chunked(head_count, x, "sum", rows,
+                                         interpret)
+    summ = capped[g - 1::g]
+    sids = head_count[g - 1::g]
+    scanned = sorted_segment_scan(sids, summ, "sum", rows, interpret)
+    base = capped[tails]
+    pc = tails // g - 1
+    e_row = (tails // g) * g - 1
+    ok = (e_row >= 0) & (head_count[jnp.maximum(e_row, 0)]
+                         == head_count[tails])
+    corr = jnp.where(ok[:, None], scanned[jnp.maximum(pc, 0)],
+                     jnp.zeros((), x.dtype))
+    return base + corr
 
 
 def sorted_segment_scan(head_count: jax.Array, x: jax.Array, mode: str,

@@ -188,22 +188,80 @@ def _seg_max_full_scan(head, packed):
     return sl._blocked_seg_scan(comb, head, packed)
 
 
+def _maxscan_mode() -> str:
+    import os
+    return os.environ.get("TLN_MAXSCAN", "twolevel")
+
+
+def _seg_max_tails_twolevel(head, packed, tails, chunk: int = 16,
+                            interpret: bool = False, head_count=None):
+    """Per-tail segment max via a WINDOWED Pallas scan + chunk-summary
+    correction (both levels stay in the kernel, unlike the measured-slower
+    XLA-intra-chunk variant of scripts/profile_tailmax.py).
+
+    Sub-runs average ~10 rows at bench scale, so the one-pass kernel's
+    full log2(tile) Hillis-Steele doubling (11 VPU passes over Q*C*4 B)
+    mostly combines nothing.  Capping the doubling at ``chunk`` original
+    rows (4 passes at chunk=16) makes every row's value cover at least its
+    last ``chunk-1`` same-run rows; chunk-END rows (always HI rows of a
+    packed pair, chunk being even) cover a full ``chunk``, so consecutive
+    chunk-end summaries tile a long run gaplessly back to its head.  A
+    full-window scan over the Q/chunk summaries (same kernel, 1/chunk the
+    rows) then yields, at the last wholly-covered chunk end before each
+    tail, the max over everything the tail's capped window misses.
+    Coverage never crosses a run head (in-kernel id compares), and extra
+    same-run coverage is harmless for max, so:
+
+        tail max = max(capped[tail], scanned_summary[tail//chunk - 1])
+
+    with the correction dropped when that chunk end precedes the run
+    (id mismatch) or the tail sits in chunk 0.
+    """
+    from . import seq_lattice as sl
+    from . import pallas_scan as ps
+
+    q, c = packed.shape
+    hc = (head_count if head_count is not None
+          else sl._blocked_cumsum(head.astype(jnp.int32)))
+    qp = -(-q // chunk) * chunk
+    if qp != q:
+        pad = qp - q
+        packed = jnp.concatenate(
+            [packed, jnp.zeros((pad, c), packed.dtype)])
+        hc = jnp.concatenate(
+            [hc, hc[-1] + jnp.arange(1, pad + 1, dtype=jnp.int32)])
+    capped = ps.sorted_segment_max_u32(hc, packed, interpret=interpret,
+                                       max_window=chunk // 2)
+    summ = capped[chunk - 1::chunk]
+    summ_ids = hc[chunk - 1::chunk]
+    scanned = ps.sorted_segment_max_u32(summ_ids, summ,
+                                        interpret=interpret)
+    base = capped[tails]
+    e_chunk = tails // chunk - 1
+    e_row = jnp.maximum(e_chunk, 0) * chunk + chunk - 1
+    ok = (e_chunk >= 0) & (hc[e_row] == hc[tails])
+    corr = jnp.where(ok[:, None], scanned[jnp.maximum(e_chunk, 0)],
+                     jnp.zeros((), packed.dtype))
+    return jnp.maximum(base, corr)
+
+
 def _sorted_packed_max_impl(data, bary, live, head, bucket, tailpos,
-                            bucket_live):
-    # NOTE(r3): consumers only read the scan at TAIL rows, but a two-level
-    # scheme (XLA intra-chunk passes + the Pallas scan on 8x-smaller chunk
-    # summaries) measured SLOWER (+11.0 vs +8.1 ms at Q=2M/C=64,
-    # scripts/profile_tailmax.py): each XLA shifted-compare-select pass
-    # materializes the full 512 MB instead of fusing.  The one-pass kernel
-    # stays.
+                            bucket_live, head_count=None):
     packed = _pack_value_bary(data, bary, live)
-    best = _seg_max_full_scan(head, packed)[tailpos.reshape(-1)]
+    tails = tailpos.reshape(-1)
+    if (jax.default_backend() != "cpu" and packed.shape[1] <= 64
+            and _maxscan_mode() == "twolevel"):
+        best = _seg_max_tails_twolevel(head, packed, tails,
+                                       head_count=head_count)
+    else:
+        best = _seg_max_full_scan(head, packed)[tails]
     best = jnp.where(bucket_live.reshape(-1, 1), best, 0)
     return best, packed
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def sorted_packed_max(data, bary, live, head, bucket, tailpos, bucket_live):
+def sorted_packed_max(data, bary, live, head, bucket, tailpos, bucket_live,
+                      head_count=None):
     """Packed value+bary segment max over CONTIGUOUS sorted sub-runs.
 
     The r3 batched-pointnet path: in the union's sorted order every
@@ -221,18 +279,20 @@ def sorted_packed_max(data, bary, live, head, bucket, tailpos, bucket_live):
       tailpos: (B,) or (T, cap) int32 sorted position of each bucket tail.
       bucket_live: matching bool, False for empty buckets (tailpos is 0
         there and would read an unrelated row).
+      head_count: optional precomputed (Q,) int32 run ids (inclusive
+        cumsum of head) -- the union already has them in table_tails mode.
 
     Returns (mx (B, C) f32, bary_sel (B, C) f32), B = tailpos.size.
     """
     best, _ = _sorted_packed_max_impl(data, bary, live, head, bucket,
-                                      tailpos, bucket_live)
+                                      tailpos, bucket_live, head_count)
     return _decode_packed(best)
 
 
 def _sorted_packed_max_fwd(data, bary, live, head, bucket, tailpos,
-                           bucket_live):
+                           bucket_live, head_count=None):
     best, packed = _sorted_packed_max_impl(data, bary, live, head, bucket,
-                                           tailpos, bucket_live)
+                                           tailpos, bucket_live, head_count)
     return _decode_packed(best), (packed, best, bucket,
                                   jnp.zeros((0,), data.dtype))
 
@@ -255,7 +315,7 @@ def _sorted_packed_max_bwd(res, cots):
     winner = (packed == sel_best) & (sel_best != 0)
     ddata = jnp.where(winner, dmx_pad[b], 0.0).astype(dtype_token.dtype)
     dbary = jnp.where(winner, dbs_pad[b], 0.0).sum(-1)
-    return ddata, dbary, None, None, None, None, None
+    return ddata, dbary, None, None, None, None, None, None
 
 
 sorted_packed_max.defvjp(_sorted_packed_max_fwd, _sorted_packed_max_bwd)

@@ -73,6 +73,10 @@ class SortedPN:
     # BEFORE the sorts loses nothing.  None without ``pn_values``.
     vals: jax.Array | None = None   # (Q, v) bf16, sorted, UNmasked
     bary: jax.Array | None = None   # (Q,) f32 (1/65535 grid), sorted
+    # (vertex, frame) sub-run ids (inclusive cumsum of head_vf), shared
+    # with segment.sorted_packed_max so the max scan skips its own
+    # _blocked_cumsum pass.  None outside MEAN_MODE table_tails.
+    head_count: jax.Array | None = None   # (Q,) int32
 
 
 @flax.struct.dataclass
@@ -239,6 +243,16 @@ def _place_mode() -> str:
     return os.environ.get("TLN_PLACE_MODE", "scatter")
 
 
+# Head-table source in MEAN_MODE "table_tails": "mean" derives the
+# (packed, birth) tables from the mean tables the union already built
+# (nr_points/tailpos) -- (T, cap) elementwise ops + one cap-row gather
+# instead of _head_table's 3-operand Q-row sort.  A/B knob:
+# TLN_HEAD_TABLE=sort|mean.
+def _head_mode() -> str:
+    import os
+    return os.environ.get("TLN_HEAD_TABLE", "mean")
+
+
 def place_by_sort(dst: jax.Array, payloads, size: int, fills):
     """Dense placement without a scatter: ``out[k][dst[j]] = payloads[k][j]``
     for ``dst[j]`` in [0, size); slots nobody writes hold ``fills[k]``.
@@ -291,7 +305,11 @@ def place_by_sort(dst: jax.Array, payloads, size: int, fills):
 # (scripts/profile_meanmode.py, TPU): table 93.8 ms, table_bwd 88.0
 # (the backward scan's own ~160 MB of traffic eats the gather saving),
 # table_compact 74.6 -- compaction wins, keeping the table+gather flow.
-MEAN_MODE = "table_compact"
+# "table_tails" (r3, scripts/profile_spn_internals.py): run totals are
+# only read at tail rows, so the full inclusive (Q, 4) scan (+16.3 ms)
+# becomes a lane-only chunk scan + summary chain + tail gathers
+# (ps.seg_sum_tails), and the compaction sort slims to 2 operands.
+MEAN_MODE = "table_tails"
 
 
 def _head_table(head2, fits, urank2, k2, b2, capacity: int, n_frames: int):
@@ -459,11 +477,46 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     tail_vf = jnp.concatenate([head_vf[1:], jnp.ones((1,), bool)])
     w2 = fits.astype(jnp.float32)
     data = jnp.stack([px2 * w2, py2 * w2, pz2 * w2, w2], axis=1)
-    run_tot = _seg_sum_rows(head_vf, data)   # inclusive: tails carry totals
     bucket = jnp.where(fits, frame2 * capacity + fin,
                        n_frames * capacity)
+    ids_vf = None
+    if MEAN_MODE != "table_tails":
+        run_tot = _seg_sum_rows(head_vf, data)   # inclusive scan: tails
+        #                                          carry totals
 
-    if MEAN_MODE == "table":
+    if MEAN_MODE == "table_tails":
+        # r3: the run totals are only ever read at TAIL rows, so the full
+        # inclusive (Q, 4) scan (+16.3 ms at bench scale,
+        # scripts/profile_spn_internals.py) shrinks to a lane-only chunk
+        # scan + a (Q/32)-row summary chain + gathers at the compacted
+        # tail positions (ps.seg_sum_tails).  The compaction sort slims
+        # from 6 operands to 2 (tkey, posf) because the sums now arrive
+        # by gather instead of riding the sort.
+        m = n_frames * capacity
+        posf = jnp.arange(q, dtype=jnp.float32)
+        tkey = jnp.where(tail_vf & fits, bucket.astype(jnp.uint32),
+                         jnp.uint32(0xFFFFFFFF))
+        sk, spos = jax.lax.sort((tkey, posf), dimension=0, num_keys=1)
+        if q < m:
+            pad = m - q
+            sk = jnp.concatenate([sk, jnp.full((pad,), 0xFFFFFFFF,
+                                               jnp.uint32)])
+            spos = jnp.concatenate([spos, jnp.zeros((pad,), jnp.float32)])
+        dd = jnp.where(sk[:m] != jnp.uint32(0xFFFFFFFF),
+                       sk[:m].astype(jnp.int32), m)
+        tails_i = spos[:m].astype(jnp.int32)
+        ids_vf = _blocked_cumsum(head_vf.astype(jnp.int32))
+        if _use_pallas_scans():
+            from . import pallas_scan as ps
+            tail_sums = ps.seg_sum_tails(ids_vf, data, tails_i)
+        else:
+            tail_sums = _seg_sum_rows(head_vf, data)[tails_i]
+        buf = jnp.zeros((m + 1, 5), jnp.float32).at[dd].set(
+            jnp.concatenate([tail_sums, spos[:m, None]], axis=1))
+        tot = buf[bucket][:, :4]
+        nr_points = buf[:m, 3].reshape(n_frames, capacity)
+        tailpos = buf[:m, 4].astype(jnp.int32).reshape(n_frames, capacity)
+    elif MEAN_MODE == "table":
         # r3: ONE scan.  Tail rows (which hold the full sub-run totals)
         # scatter into a (T*cap+1, 5) table; every row then GATHERS its
         # total back (~2.6 ns/row vs ~4x-a-sort for the backward scan).
@@ -568,8 +621,26 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
             dimension=0, num_keys=1)
         rel = jnp.stack([rx, ry, rz], axis=1)
 
-    packed_final, birth_final = _head_table(head2, fits, urank2, k2, b2,
-                                            capacity, n_frames)
+    if (MEAN_MODE == "table_tails" and tailpos is not None
+            and _head_mode() == "mean"):
+        # r3: the head table falls out of the mean tables.  A slot's birth
+        # is the first frame with points (``fits`` is uniform across a key
+        # run -- the whole run fits or none of it does -- so the earliest
+        # row counted in nr_points IS the run head's frame), and
+        # tailpos[birth, s] is a sorted row position inside that slot
+        # whose k2 is the slot's key.  (T, cap) elementwise ops + one
+        # cap-row gather replace _head_table's 3-operand Q-row sort.
+        # Column 0 of nr_points is already zeroed (reserved bucket), so
+        # slot 0 falls out as (PACKED_SENTINEL, n_frames) like the table.
+        nz = nr_points > 0.0                      # (T, cap)
+        any_slot = nz.any(axis=0)
+        bf = jnp.argmax(nz, axis=0).astype(jnp.int32)
+        rep = tailpos[bf, jnp.arange(capacity, dtype=jnp.int32)]
+        packed_final = jnp.where(any_slot, k2[rep], PACKED_SENTINEL)
+        birth_final = jnp.where(any_slot, bf, n_frames)
+    else:
+        packed_final, birth_final = _head_table(head2, fits, urank2, k2, b2,
+                                                capacity, n_frames)
 
     counts = 1 + jnp.sum(
         (birth_final[None, :] <= jnp.arange(n_frames)[:, None])
@@ -579,7 +650,8 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
         pn_vals, pn_bary = _unpack_pn_rows(ex2, n_vals)
     sorted_pn = (None if tailpos is None else SortedPN(
         rel=rel2, so=so2, live=fits, head_vf=head_vf, bucket=bucket,
-        tailpos=tailpos, vals=pn_vals, bary=pn_bary))
+        tailpos=tailpos, vals=pn_vals, bary=pn_bary,
+        head_count=ids_vf))
     return packed_final, birth_final, row_idx, counts, rel, nr_points, \
         sorted_pn
 

@@ -113,3 +113,90 @@ def test_single_run_is_cumulative():
     out = ps.sorted_segment_scan(jnp.asarray(hc), jnp.asarray(x), "sum",
                                  rows=64, interpret=True)
     np.testing.assert_array_equal(np.asarray(out)[:, 0], np.cumsum(x[:, 0]))
+
+
+def _seg_max_oracle_tails(heads, x, tails_idx):
+    """Per-tail true segment max (numpy)."""
+    ids = np.cumsum(heads)
+    out = []
+    for t in tails_idx:
+        seg = ids[t]
+        lo = t
+        while lo > 0 and ids[lo - 1] == seg:
+            lo -= 1
+        out.append(x[lo:t + 1].max(axis=0))
+    return np.stack(out)
+
+
+def test_twolevel_tail_max_adversarial():
+    """The capped-window + summary-correction tail max equals the true
+    per-segment max for run lengths spanning 1..hundreds, with heads and
+    tails landing on chunk and tile boundaries."""
+    from temporal_latticenet_tpu.ops import segment as seg
+
+    rng = np.random.default_rng(7)
+    chunk = 16
+    q = 8192                       # 4 kernel tiles at the default 2048
+    # adversarial run lengths: many short, some spanning several chunks,
+    # one spanning more than a tile; plus exact chunk/tile alignments
+    lens = []
+    while sum(lens) < q - 3000:
+        lens.append(int(rng.choice([1, 2, 3, 7, chunk - 1, chunk,
+                                    chunk + 1, 2 * chunk, 100])))
+    lens += [2500, 16, 1]          # > tile, exactly chunk, singleton
+    lens.append(q - sum(lens))
+    heads = np.zeros(q, bool)
+    pos = 0
+    for ln in lens:
+        heads[pos] = True
+        pos += ln
+    assert pos == q
+    tails_idx = np.concatenate([np.flatnonzero(heads)[1:] - 1, [q - 1]])
+
+    x = rng.integers(0, 2**32, (q, 8), dtype=np.uint32)
+    got = seg._seg_max_tails_twolevel(
+        jnp.asarray(heads), jnp.asarray(x), jnp.asarray(tails_idx),
+        chunk=chunk, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got), _seg_max_oracle_tails(heads, x, tails_idx))
+
+
+def test_twolevel_tail_max_unpadded_q():
+    """Q not a multiple of chunk or tile still pads correctly."""
+    from temporal_latticenet_tpu.ops import segment as seg
+
+    rng = np.random.default_rng(8)
+    q = 3001
+    heads = rng.random(q) < 0.08
+    heads[0] = True
+    tails_idx = np.concatenate([np.flatnonzero(heads)[1:] - 1, [q - 1]])
+    x = rng.integers(0, 2**32, (q, 4), dtype=np.uint32)
+    got = seg._seg_max_tails_twolevel(
+        jnp.asarray(heads), jnp.asarray(x), jnp.asarray(tails_idx),
+        chunk=16, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got), _seg_max_oracle_tails(heads, x, tails_idx))
+
+
+def test_seg_sum_tails_exact():
+    """Chunk scan + summary chain == exact per-run sums at tails, for run
+    lengths from 1 to several chunks, integer-valued f32 (exact adds)."""
+    rng = np.random.default_rng(9)
+    q, c = 4096, 4                 # g = 32 originals per chunk
+    lens = []
+    while sum(lens) < q - 400:
+        lens.append(int(rng.choice([1, 2, 5, 31, 32, 33, 64, 200])))
+    lens.append(q - sum(lens))
+    heads = np.zeros(q, bool)
+    pos = 0
+    for ln in lens:
+        heads[pos] = True
+        pos += ln
+    ids = np.cumsum(heads).astype(np.int32)
+    tails_idx = np.concatenate([np.flatnonzero(heads)[1:] - 1, [q - 1]])
+    x = rng.integers(0, 100, (q, c)).astype(np.float32)
+
+    got = ps.seg_sum_tails(jnp.asarray(ids), jnp.asarray(x),
+                           jnp.asarray(tails_idx), interpret=True)
+    exp = np.stack([x[ids == ids[t]].sum(axis=0) for t in tails_idx])
+    np.testing.assert_array_equal(np.asarray(got), exp)

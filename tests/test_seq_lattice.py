@@ -375,3 +375,56 @@ def test_want_row_rel_false_matches(rng):
                                       np.asarray(lb.keys))
         np.testing.assert_array_equal(np.asarray(la.nbr_idx),
                                       np.asarray(lb.nbr_idx))
+
+
+def test_mean_mode_table_tails_matches_compact(rng, monkeypatch):
+    """MEAN_MODE table_tails (slim compaction sort + tail-gathered sums)
+    is bit-identical to table_compact on the full sequence build."""
+    pos, msk = _seq(rng)
+    vals = jnp.asarray(
+        rng.random((pos.shape[0], pos.shape[1], 1)).astype(np.float32))
+    outs = {}
+    for mode in ("table_tails", "table_compact"):
+        monkeypatch.setattr(sl, "MEAN_MODE", mode)
+        outs[mode] = jax.jit(lambda p, m, v: sl.build_sequence_lattice(
+            p, m, SIGMA, CAPS, 2, pn_values=v))(pos, msk, vals)
+    a, b = outs["table_tails"], outs["table_compact"]
+    np.testing.assert_array_equal(np.asarray(a.nr_points),
+                                  np.asarray(b.nr_points))
+    np.testing.assert_array_equal(np.asarray(a.row_rel_pos),
+                                  np.asarray(b.row_rel_pos))
+    for f in ("rel", "so", "live", "head_vf", "bucket", "tailpos", "vals",
+              "bary"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a.sorted_pn, f)),
+            np.asarray(getattr(b.sorted_pn, f)), err_msg=f"sorted_pn.{f}")
+    for la, lb in zip(a.levels, b.levels):
+        for f in ("keys", "birth", "counts"):
+            np.testing.assert_array_equal(np.asarray(getattr(la, f)),
+                                          np.asarray(getattr(lb, f)),
+                                          err_msg=f"level field {f}")
+
+
+def test_head_table_mean_matches_sort(rng, monkeypatch):
+    """In MEAN_MODE table_tails the head table derived from the mean
+    tables (birth = first frame with points, key gathered at
+    tailpos[birth, slot]) is bit-identical to _head_table's sorted-heads
+    path -- including sentinels, duplicate keys across frames, and
+    capacity overflow (more unique keys than slots)."""
+    q, T = 4096, 4
+    pos_rows = jnp.asarray(rng.normal(size=(q, 3)).astype(np.float32) * 3)
+    keys = rng.integers(0, 900, size=(q,)).astype(np.uint32)
+    keys[rng.random(q) < 0.05] = np.uint32(0xFFFFFFFF)  # sentinels
+    cand = jnp.asarray(keys)
+
+    monkeypatch.setattr(sl, "MEAN_MODE", "table_tails")
+    for cap in (512, 2048):   # 512 overflows (900 uniques), 2048 fits all
+        outs = {}
+        for hm in ("mean", "sort"):
+            monkeypatch.setenv("TLN_HEAD_TABLE", hm)
+            outs[hm] = jax.jit(
+                lambda c, p: sl._union_with_birth_and_mean(c, p, cap, T)
+            )(cand, pos_rows)
+        for i, (a, b) in enumerate(zip(outs["mean"][:6], outs["sort"][:6])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=f"cap={cap} out[{i}]")
