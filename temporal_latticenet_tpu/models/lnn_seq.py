@@ -39,6 +39,18 @@ from .pointnet import PointNetSeq
 SITES = ("early", "middle", "bottleneck", "late")
 
 
+def _sg(x, site: str):
+    """PROFILING ONLY (scripts/profile_backward.py): stop_gradient at a
+    named cut point when TLN_PROFILE_SG names it.  Severing the backward at
+    successive depths attributes BPTT cost per network segment (the
+    backward analog of the early-return netsplit cuts).  Off (identity)
+    unless the env var is set; never set in production paths."""
+    import os
+    if os.environ.get("TLN_PROFILE_SG", "") == site:
+        return jax.lax.stop_gradient(x)
+    return x
+
+
 @flax.struct.dataclass
 class SeqState:
     """Temporal carry, replacing the reference's stateful module attributes
@@ -180,6 +192,7 @@ class LNNSeq(nn.Module):
                 dist, values_rows, nbrs[0], counts[0], h[0], pc[0],
                 is_first, deterministic, nr_points=nr_points,
                 pre_reduced=pre_reduced)
+        lv = _sg(lv, "pn")
         pc[0] = counts[0]
 
         if (not final) and seq and cut <= 0:
@@ -225,6 +238,7 @@ class LNNSeq(nn.Module):
         if fusions[1] is not None:
             lv, h[2] = fusions[1](lv, h[2], pc[2], counts[L], is_first, nbrs[L])
             pc[2] = counts[L]
+        lv = _sg(lv, "upcut")
         if (not final) and seq and cut <= 2:
             return None, pack_state(), {"point_vertex": dist.point_vertex}
 
@@ -232,7 +246,7 @@ class LNNSeq(nn.Module):
         aux = {}
         for i in range(L):
             lvl = L - 1 - i  # target (finer) level
-            fine_v = skip_values.pop()
+            fine_v = _sg(skip_values.pop(), "upcut")
             fine_c = skip_counts.pop()
             nf = cur // 2
             up = GnReluFinefy(nf, dtype=cfg.compute_dtype,
@@ -247,6 +261,7 @@ class LNNSeq(nn.Module):
                     lv, h[3] = fusions[2](lv, h[3], pc[3], counts[0], is_first,
                                           nbrs[0])
                     pc[3] = counts[0]
+                lv = _sg(lv, "late")
                 if not final and seq:
                     return None, pack_state(), {"point_vertex": dist.point_vertex}
 
@@ -271,12 +286,13 @@ class LNNSeq(nn.Module):
                                          lv, nbrs[0], counts[0], deterministic)
 
         # ---- slice + classify -------------------------------------------
+        lv = _sg(lv, "slice_in")
         sv = DeformSlice(cfg.nr_classes, cfg.dropout_last_layer,
                          deform=(cfg.experiment != "slice_no_deform"),
                          name="slice_fast_cuda")(
                              lv, dist.point_vertex, dist.point_bary,
                              deterministic)
-        logp = jax.nn.log_softmax(sv, axis=-1)
+        logp = jax.nn.log_softmax(_sg(sv, "logits"), axis=-1)
         aux["nr_vertices"] = counts[0]
         aux["occupancy"] = jnp.stack([counts[l] for l in range(L + 1)])
         # saturation flag: count == capacity means the table is FULL -- zero

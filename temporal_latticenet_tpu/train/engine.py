@@ -213,6 +213,14 @@ def make_sequence_forward(model: LNNSeq, cfg: ModelConfig, rt: RuntimeConfig,
                       jax.tree_util.tree_map(lambda a: a[:-1], full_dist),
                       red_scan)
                 state, _ = jax.lax.scan(body, state, xs)
+                import os
+                if os.environ.get("TLN_PROFILE_SG_CARRY") == "1":
+                    # PROFILING ONLY (scripts/profile_backward.py): sever
+                    # the BPTT backward at the scan boundary -- the trimmed
+                    # frames' backward is DCE'd, isolating the final
+                    # frame's backward cost
+                    state = jax.tree_util.tree_map(jax.lax.stop_gradient,
+                                                   state)
             # resize the carried fusion states to the final frame's row
             # space (ftrim caps when final-frame trimming is on, else full)
             if do_trim or do_ftrim:
