@@ -38,6 +38,11 @@ enable_compile_cache()
 
 VARIANTS = [
     # (label, TLN_PROFILE_SG, carry_cut)
+    # fwd+loss: NO value_and_grad / optimizer at all -- the same forward +
+    # loss + metrics in a plain jit.  Against the synced inference number
+    # (bench_details seconds_per_sequence_synced) it prices the loss; the
+    # carry+logits - fwd+loss delta prices the grad machinery + AdamW floor.
+    ("fwd+loss", "fwdonly", True),
     ("carry+logits", "logits", True),
     ("carry+slice_in", "slice_in", True),
     ("carry+late", "late", True),
@@ -93,10 +98,20 @@ def main():
     for label, sg, carry in VARIANTS:
         if wanted and label not in wanted:
             continue
-        os.environ["TLN_PROFILE_SG"] = sg
-        os.environ["TLN_PROFILE_SG_CARRY"] = "1" if carry else "0"
-        # fresh trace per variant: the env gates are read at trace time
-        train_step, _ = engine.make_train_step(model, cfg, rt, tx)
+        if sg == "fwdonly":
+            os.environ.pop("TLN_PROFILE_SG", None)
+            os.environ["TLN_PROFILE_SG_CARRY"] = "0"
+            _, eval_step = engine.make_train_step(model, cfg, rt, tx)
+
+            def train_step(st, b, _lr, _ev=eval_step):
+                logp, m = _ev(st.params, b)
+                m = dict(m, grad_norm=jnp.float32(0.0))
+                return st, logp, m
+        else:
+            os.environ["TLN_PROFILE_SG"] = sg
+            os.environ["TLN_PROFILE_SG_CARRY"] = "1" if carry else "0"
+            # fresh trace per variant: the env gates are read at trace time
+            train_step, _ = engine.make_train_step(model, cfg, rt, tx)
         t0 = time.perf_counter()
         st, _, metrics = train_step(state0, batch, 1.0)
         loss = float(metrics["loss"])
