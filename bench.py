@@ -8,31 +8,54 @@ Metric definition (BASELINE.md north star): total REAL points processed
 4 frames of a sequence divided by wall time per sequence, on one chip,
 flagship gru-gru-aflow-gru model at SemanticKITTI scale, sigma 0.6.  The
 padded row count (max_points) drives the actual work, so cross-run
-comparisons must hold points_per_frame fixed; r1's number counted 120k
-points in the same 131072-row padding.
+comparisons must hold points_per_frame fixed.
+
+Survival-first structure (VERDICT r3 item 1 -- the r3 driver capture timed
+out mid-compile, rc 124):
+  * ONE bench-scale compile: the headline fori_loop graph itself carries the
+    occupancy/trim honesty outputs, and its iteration count is a TRACED
+    argument (lowers to while_loop) so changing --iters never recompiles.
+  * params come from a TINY-geometry init (param shapes depend only on
+    channel widths, never on capacities/max_points -- asserted at runtime
+    against eval_shape of the bench-scale init), killing the second
+    bench-scale compile the r3 script paid.
+  * the headline JSON line is printed the moment the primary measurement
+    exists; bench_details.json and the secondary timing protocols
+    (--details) come after, and are skipped entirely when the budget is
+    spent.
+  * a watchdog thread (TLN_BENCH_BUDGET_S, default 480 s) emits the best
+    measurement available so far and exits 0 before any external `timeout`
+    can SIGKILL the process -- it runs even while the main thread is blocked
+    inside a remote compile.  Fallback ladder: full timed loop > single
+    warm sequence (includes the ~31 ms dispatch tax) > nothing (exit 3).
 
 Geometry (r2, VERDICT item 6): scans come from the ray-cast LiDAR simulator
 (data/lidar_like.py) -- ring structure, range-dependent density, pose drift
 -- whose lattice occupancy matches real SemanticKITTI (~20-35k occupied
 level-0 vertices per 4-frame union at sigma 0.6; measured by
 scripts/occupancy.py and recorded in bench_details.json).  Static capacities
-are sized to that occupancy with ~40% headroom.  The r1 uniform-ish
-synthetic generator saturated a 98304-vertex table from frame 0 (silently
-dropping vertices) and is kept behind --generator synthetic for
-cross-round comparison.
+are sized to that occupancy with ~40% headroom.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is the
 ratio against a documented ESTIMATE of the reference's A100 throughput:
 ~50 ms/frame for the CUDA pipeline on ~120k-point scans -> 4*120k/0.2 s
 = 2.4M points/sec.  This constant is an engineering estimate, not a
-measured baseline, and is recorded here so the ratio's meaning is explicit.
+measured baseline; scripts/roofline.py derives the honest uncertainty band
+recorded in bench_details.json.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import signal
+import sys
+import threading
 import time
+
+T_START = time.perf_counter()
+BUDGET_S = float(os.environ.get("TLN_BENCH_BUDGET_S", "480"))
 
 import numpy as np
 
@@ -45,26 +68,63 @@ enable_compile_cache()
 from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
 from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
 from temporal_latticenet_tpu.data.synthetic import synthetic_sequence
-from temporal_latticenet_tpu.models import LNNSeq
+from temporal_latticenet_tpu.models import LNNSeq, init_state
 from temporal_latticenet_tpu.train.engine import make_sequence_forward
 
 REFERENCE_A100_POINTS_PER_SEC_ESTIMATE = 2.4e6
 
+# best-available state shared with the watchdog/signal handlers
+_best = {"result": None, "details": None, "emitted": False}
+_emit_lock = threading.Lock()
+
+
+def _emit(final: bool = False) -> bool:
+    """Print the headline JSON exactly once; returns True if printed."""
+    with _emit_lock:
+        if _best["emitted"]:
+            return True
+        if _best["result"] is None:
+            return False
+        print(json.dumps(_best["result"]), flush=True)
+        _best["emitted"] = True
+        if _best["details"] is not None:
+            try:
+                with open("bench_details.json", "w") as f:
+                    json.dump(_best["details"], f, indent=2)
+            except OSError:
+                pass
+        return True
+
+
+def _watchdog():
+    """Fires at the budget: flush whatever we have and hard-exit.
+
+    Runs on a thread so it works even while the main thread is blocked in
+    a remote XLA compile (a Python signal handler would not run there)."""
+    emitted = _emit()
+    sys.stdout.flush()
+    os._exit(0 if emitted else 3)
+
+
+def _remaining() -> float:
+    return BUDGET_S - (time.perf_counter() - T_START)
+
+
+def _on_term(signum, frame):
+    _emit()
+    sys.stdout.flush()
+    os._exit(0)
+
 
 def _baseline_bounds():
-    import functools
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "roofline", os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "scripts", "roofline.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.bounds()
 
-    @functools.cache
-    def load():
-        import importlib.util
-        import os
-        spec = importlib.util.spec_from_file_location(
-            "roofline", os.path.join(os.path.dirname(
-                os.path.abspath(__file__)), "scripts", "roofline.py"))
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        return mod.bounds()
-    return load()
 
 FLAGSHIP = ModelConfig(
     nr_classes=26,
@@ -86,7 +146,10 @@ def main():
                     default="lidar")
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--details", action="store_true",
+                    help="also time the synced / pipelined secondary "
+                    "protocols (extra compile; off by default so the "
+                    "driver capture finishes inside its timeout)")
     ap.add_argument("--batched-pointnet", dest="batched_pointnet",
                     action="store_true", default=True,
                     help="pointnet for all frames at once over the "
@@ -107,6 +170,12 @@ def main():
                     "per-generator default (lidar: 40960 = 1.17x the "
                     "measured final-union occupancy 34986); 0 disables")
     args = ap.parse_args()
+
+    signal.signal(signal.SIGTERM, _on_term)
+    signal.signal(signal.SIGINT, _on_term)
+    watchdog = threading.Timer(max(_remaining(), 1.0), _watchdog)
+    watchdog.daemon = True
+    watchdog.start()
 
     # capacity defaults sized to measured occupancy (scripts/occupancy.py):
     # lidar 4-frame union peaks ~35k level-0 vertices -> 49152 (~40% head);
@@ -144,28 +213,63 @@ def main():
     positions, values, mask = jnp.asarray(p), jnp.asarray(v), jnp.asarray(m)
     points_per_frame = int(m.sum(1).mean())
 
-    from temporal_latticenet_tpu.models import init_state
-    init_fn = jax.jit(lambda k, p_, v_, m_, s: model.init(k, p_, v_, m_, s,
-                                                          final=True))
-    variables = init_fn(jax.random.PRNGKey(0), positions[0], values[0],
-                        mask[0], init_state(cfg, rt))
+    # Params from a TINY-geometry init: parameter shapes depend only on
+    # channel widths (conv kernels, GN scales, fusion cells), never on the
+    # vertex capacities or the padded point count, so initializing at toy
+    # geometry yields the identical pytree for a fraction of the compile.
+    # The eval_shape assert below proves the substitution each run.
+    rt_tiny = RuntimeConfig(max_points=1024, capacity_level0=2048,
+                            capacity_decay=0.5, min_capacity=512, sigma=0.6,
+                            batched_pointnet=args.batched_pointnet)
+    model_tiny = LNNSeq(cfg, rt_tiny)
+    key = jax.random.PRNGKey(0)
+    tiny_p = jnp.asarray(np.asarray(positions[0][: rt_tiny.max_points]))
+    tiny_v = jnp.asarray(np.asarray(values[0][: rt_tiny.max_points]))
+    tiny_m = jnp.asarray(np.asarray(mask[0][: rt_tiny.max_points]))
+    init_tiny = jax.jit(lambda k, p_, v_, m_, s: model_tiny.init(
+        k, p_, v_, m_, s, final=True))
+    variables = init_tiny(key, tiny_p, tiny_v, tiny_m,
+                          init_state(cfg, rt_tiny))
     params = {"params": variables["params"]}
+    big_shapes = jax.eval_shape(
+        lambda k: model.init(k, positions[0], values[0], mask[0],
+                             init_state(cfg, rt), final=True), key)
+    got = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)), params)
+    want = jax.tree_util.tree_map(lambda a: (a.shape, str(a.dtype)),
+                                  {"params": big_shapes["params"]})
+    assert got == want, "tiny-init param tree differs from bench-scale init"
 
-    # reduce on device and fetch the scalar to host: a plain
-    # block_until_ready can be a no-op through remote-TPU proxies, so the
-    # timing loop forces a real round-trip through the full computation.
-    # The forward's aux carries per-level occupancy, so the honesty check
-    # below costs no extra compile.
     caps = rt.capacities(cfg.nr_downsamples)
 
     def _fwd(prm, p_, v_, m_):
         logp, sv, aux = seq_fwd(prm, p_, v_, m_)
         return logp.sum(), aux["occupancy"], aux["trim_overflow"]
 
-    fwd = jax.jit(_fwd)
+    # Headline protocol: run the iterations INSIDE one jitted loop, so the
+    # ~31 ms-per-dispatch tunnel round-trip (an artifact of this remote dev
+    # setup -- a production host dispatches in ~0.1 ms, and the A100
+    # reference estimate carries no such tax) is amortised across the
+    # batch.  Each iteration perturbs positions by i*1e-12 m (physically
+    # nil, numerically sufficient to stop XLA hoisting the loop-invariant
+    # body) and the carried sum forces every iteration to execute.  The
+    # iteration count is a traced operand (while_loop), so --iters and the
+    # budget-guard shrink below never trigger a recompile, and the carry
+    # threads the honesty outputs (occupancy, trim overflow) out of the
+    # last iteration -- no separate single-shot graph to compile.
+    out_shapes = jax.eval_shape(_fwd, params, positions, values, mask)
+
+    @jax.jit
+    def fwd_loop(prm, p_, v_, m_, n):
+        def body(i, carry):
+            acc = carry[0]
+            s, occ, tov = _fwd(prm, p_ + jnp.float32(i) * 1e-12, v_, m_)
+            return (acc + s, occ, tov)
+        carry0 = tuple(jnp.zeros(x.shape, x.dtype) for x in out_shapes)
+        return jax.lax.fori_loop(0, n, body, carry0)
 
     t0 = time.perf_counter()
-    s, occ, trim_over = fwd(params, positions, values, mask)
+    s, occ, trim_over = fwd_loop(params, positions, values, mask,
+                                 jnp.int32(1))
     float(s)
     compile_s = time.perf_counter() - t0
     occupancy = [int(x) for x in np.asarray(occ)]
@@ -175,74 +279,27 @@ def main():
     # measured workload SMALLER than the input deserves (the r1 failure)
     saturated = [o >= c for o, c in zip(occupancy, caps)]
     if any(saturated):
-        import sys
         print(f"WARNING: vertex table saturated (occupancy {occupancy} vs "
               f"capacities {list(caps)}); the headline number is measured "
               f"with dropped vertices -- raise --capacity", file=sys.stderr)
     if trim_overflowed:
-        import sys
         print(f"WARNING: trim capacity overflow (trim "
               f"{rt.trim_capacities(2)} < frame-{args.frames - 2} occupancy "
               f"or final {rt.final_capacities(2)} < final-union occupancy); "
               f"frames dropped vertex compute -- raise --trim-capacity / "
               f"--final-capacity", file=sys.stderr)
 
-    for _ in range(args.warmup):
-        float(fwd(params, positions, values, mask)[0])
-
-    # Headline protocol: run the iterations INSIDE one jitted fori_loop, so
-    # the ~31 ms-per-dispatch tunnel round-trip (an artifact of this remote
-    # dev setup -- a production host dispatches in ~0.1 ms, and the A100
-    # reference estimate carries no such tax) is amortised across the
-    # batch.  Each iteration perturbs positions by i*1e-12 m (physically
-    # nil, numerically sufficient to stop XLA hoisting the loop-invariant
-    # body) and the carried sum forces every iteration to execute.
-    # Secondary protocols recorded in bench_details: per-iteration host
-    # fetch (charges the round-trip to every sequence) and queue-then-fetch
-    # pipelining (A/B'd 5.7x SLOWER through the axon proxy -- async
-    # dispatch without intermediate syncs degrades pathologically there).
-    n_loop = args.iters
-
-    @jax.jit
-    def fwd_loop(prm, p_, v_, m_):
-        def body(i, acc):
-            s, _, _ = _fwd(prm, p_ + jnp.float32(i) * 1e-12, v_, m_)
-            return acc + s
-        return jax.lax.fori_loop(0, n_loop, body, jnp.float32(0.0))
-
-    float(fwd_loop(params, positions, values, mask))  # compile + warm
-    t0 = time.perf_counter()
-    float(fwd_loop(params, positions, values, mask))
-    # the single dispatch round-trip stays included, amortised over iters
-    dt = (time.perf_counter() - t0) / args.iters
-
-    t0 = time.perf_counter()
-    for _ in range(args.iters):
-        float(fwd(params, positions, values, mask)[0])
-    dt_synced = (time.perf_counter() - t0) / args.iters
-    t0 = time.perf_counter()
-    sums = [fwd(params, positions, values, mask)[0]
-            for _ in range(args.iters)]
-    float(jnp.stack(sums).sum())
-    dt_pipelined = (time.perf_counter() - t0) / args.iters
-
-    pts_per_sec = args.frames * points_per_frame / dt
-    result = {
-        "metric": "semantickitti_4frame_seq_inference",
-        "value": round(pts_per_sec, 1),
-        "unit": "points/sec/chip",
-        "vs_baseline": round(pts_per_sec / REFERENCE_A100_POINTS_PER_SEC_ESTIMATE, 3),
-    }
-    print(json.dumps(result))
-    # extra context on stderr-style secondary line is avoided: driver wants
-    # one JSON line; details go to a sidecar file
-    with open("bench_details.json", "w") as f:
-        json.dump({**result, "seconds_per_sequence": dt,
-                   "seconds_per_sequence_synced": dt_synced,
-                   "seconds_per_sequence_pipelined": dt_pipelined,
-                   "timing_protocol": "on-device fori_loop over iters "
-                   "(one host dispatch, amortised); synced = one host "
-                   "round-trip per sequence (~31 ms tunnel tax each)",
+    def _pack(dt, protocol, extra=None):
+        pts_per_sec = args.frames * points_per_frame / dt
+        result = {
+            "metric": "semantickitti_4frame_seq_inference",
+            "value": round(pts_per_sec, 1),
+            "unit": "points/sec/chip",
+            "vs_baseline": round(
+                pts_per_sec / REFERENCE_A100_POINTS_PER_SEC_ESTIMATE, 3),
+        }
+        details = {**result, "seconds_per_sequence": dt,
+                   "timing_protocol": protocol,
                    "compile_seconds": compile_s,
                    "points_per_frame": points_per_frame,
                    "frames": args.frames,
@@ -256,21 +313,73 @@ def main():
                    "occupancy_final_union": occupancy,
                    "saturated": any(saturated),
                    "trim_overflowed": trim_overflowed,
-                   # the A100 constant is an ESTIMATE (the reference
-                   # publishes no numbers; paper unfetchable here).
-                   # Derived bounds (scripts/roofline.py, docs/DESIGN.md):
-                   # per-stage bytes/FLOPs of the reference's own algorithm
-                   # x explicit A100 efficiency assumptions.
-                   "baseline_bounds": _baseline_bounds(),
-                   "vs_baseline_range": [
-                       round(pts_per_sec
-                             / _baseline_bounds()[
-                                 "a100_tuned_kernels_pts_per_s"], 3),
-                       round(pts_per_sec
-                             / _baseline_bounds()["a100_floor_pts_per_s"],
-                             3)],
                    "backend": jax.default_backend(),
-                   "device": str(jax.devices()[0])}, f, indent=2)
+                   "device": str(jax.devices()[0]), **(extra or {})}
+        return result, details
+
+    # warm single-sequence fallback: honest (post-compile, real data) but
+    # taxed with one full dispatch round-trip; replaced by the amortised
+    # loop measurement below unless the watchdog fires first.
+    t0 = time.perf_counter()
+    float(fwd_loop(params, positions, values, mask, jnp.int32(1))[0])
+    dt_single = time.perf_counter() - t0
+    _best["result"], _best["details"] = _pack(
+        dt_single, "single warm sequence incl. ~31 ms dispatch round-trip "
+        "(budget fallback -- the amortised loop did not finish in time)")
+
+    # budget guard: shrink the iteration count (traced operand -- free) so
+    # the timed run fits in what's left, with 30 s of slack for teardown.
+    n_loop = args.iters
+    if _remaining() < n_loop * dt_single + 30.0:
+        n_loop = max(1, int((_remaining() - 30.0) / max(dt_single, 1e-3)))
+        print(f"WARNING: budget nearly spent after compile "
+              f"({_remaining():.0f} s left); shrinking timed loop to "
+              f"{n_loop} iters", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    float(fwd_loop(params, positions, values, mask, jnp.int32(n_loop))[0])
+    # the single dispatch round-trip stays included, amortised over iters
+    dt = (time.perf_counter() - t0) / n_loop
+
+    _best["result"], _best["details"] = _pack(
+        dt, "on-device fori_loop over iters (one host dispatch, amortised)",
+        {"iters": n_loop, "seconds_per_sequence_single": dt_single})
+    _emit()  # headline out NOW; everything past this point is optional
+
+    # ---- optional extras: baseline bounds + secondary protocols ----
+    details = dict(_best["details"])
+    try:
+        bounds = _baseline_bounds()
+        pts_per_sec = details["value"]
+        details["baseline_bounds"] = bounds
+        details["vs_baseline_range"] = [
+            round(pts_per_sec / bounds["a100_tuned_kernels_pts_per_s"], 3),
+            round(pts_per_sec / bounds["a100_floor_pts_per_s"], 3)]
+    except Exception as e:  # roofline is decoration, never fatal
+        details["baseline_bounds_error"] = repr(e)
+
+    if args.details and _remaining() > 60.0:
+        # secondary protocols (one extra bench-scale compile): per-sequence
+        # host fetch charges the round-trip to every sequence; the
+        # queue-then-fetch pipelining A/B measured 5.7x SLOWER through the
+        # axon proxy (async dispatch without intermediate syncs degrades
+        # pathologically there)
+        fwd = jax.jit(_fwd)
+        float(fwd(params, positions, values, mask)[0])
+        t0 = time.perf_counter()
+        for _ in range(n_loop):
+            float(fwd(params, positions, values, mask)[0])
+        details["seconds_per_sequence_synced"] = (
+            (time.perf_counter() - t0) / n_loop)
+        t0 = time.perf_counter()
+        sums = [fwd(params, positions, values, mask)[0]
+                for _ in range(n_loop)]
+        float(jnp.stack(sums).sum())
+        details["seconds_per_sequence_pipelined"] = (
+            (time.perf_counter() - t0) / n_loop)
+
+    with open("bench_details.json", "w") as f:
+        json.dump(details, f, indent=2)
 
 
 if __name__ == "__main__":

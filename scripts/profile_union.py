@@ -121,26 +121,20 @@ def main():
         tail_vf = jnp.concatenate([head_vf[1:], jnp.ones((1,), bool)])
         w2 = valid2.astype(jnp.float32)
         data = jnp.stack([px2 * w2, py2 * w2, pz2 * w2, w2], axis=1)
-        tot = sl._seg_copy_tail_rows(tail_vf, sl._seg_sum_rows(head_vf, data))
+        tot = sl._seg_sum_rows(head_vf, data)
         return tot
 
-    def full_with_modes(ht, mm):
-        def run(positions, mask):
-            sl.HEAD_TABLE_MODE, sl.MEAN_MODE = ht, mm
-            try:
-                cand, pos_rows, _ = prefix_pack(positions, mask)
-                out = sl._union_with_birth_and_mean(cand, pos_rows, cap, T)
-                return out[2] + out[5].sum()
-            finally:
-                sl.HEAD_TABLE_MODE, sl.MEAN_MODE = "sort", "table"
-        return jax.jit(run)
+    def full_default(positions, mask):
+        # current (sole) path: table_tails mean + mean-derived head table
+        cand, pos_rows, _ = prefix_pack(positions, mask)
+        out = sl._union_with_birth_and_mean(cand, pos_rows, cap, T)
+        return out[2] + out[5].sum()
+    full_default = jax.jit(full_default)
 
     results = {}
     jobs = [("simplex", simplex), ("sort1", sort1),
             ("birth", birth_fn), ("sort2", sort2), ("scans", scans)]
-    for ht in ("scatter", "sort"):
-        for mm in ("scan", "table"):
-            jobs.append((f"full[{ht[:4]},{mm[:4]}]", full_with_modes(ht, mm)))
+    jobs.append(("full", full_default))
     for name, fn in jobs:
         t, c = timeit(fn, positions, mask)
         results[name] = t

@@ -188,11 +188,6 @@ def _seg_max_full_scan(head, packed):
     return sl._blocked_seg_scan(comb, head, packed)
 
 
-def _maxscan_mode() -> str:
-    import os
-    return os.environ.get("TLN_MAXSCAN", "twolevel")
-
-
 def _seg_max_tails_twolevel(head, packed, tails, chunk: int = 16,
                             interpret: bool = False, head_count=None):
     """Per-tail segment max via a WINDOWED Pallas scan + chunk-summary
@@ -249,8 +244,7 @@ def _sorted_packed_max_impl(data, bary, live, head, bucket, tailpos,
                             bucket_live, head_count=None):
     packed = _pack_value_bary(data, bary, live)
     tails = tailpos.reshape(-1)
-    if (jax.default_backend() != "cpu" and packed.shape[1] <= 64
-            and _maxscan_mode() == "twolevel"):
+    if jax.default_backend() != "cpu" and packed.shape[1] <= 64:
         best = _seg_max_tails_twolevel(head, packed, tails,
                                        head_count=head_count)
     else:

@@ -75,7 +75,7 @@ class SortedPN:
     bary: jax.Array | None = None   # (Q,) f32 (1/65535 grid), sorted
     # (vertex, frame) sub-run ids (inclusive cumsum of head_vf), shared
     # with segment.sorted_packed_max so the max scan skips its own
-    # _blocked_cumsum pass.  None outside MEAN_MODE table_tails.
+    # _blocked_cumsum pass.
     head_count: jax.Array | None = None   # (Q,) int32
 
 
@@ -201,132 +201,17 @@ def _seg_sum_rows(head: jax.Array, val: jax.Array) -> jax.Array:
     return _blocked_seg_scan(comb, head, val)
 
 
-def _seg_copy_tail_rows(tail: jax.Array, val: jax.Array) -> jax.Array:
-    """Propagate each run TAIL's value backward across its run.  val (Q, K).
-
-    Pallas path: ONE pass via the "first" scan on reversed rows.  The
-    kernel identifies runs by id EQUALITY only, so the reversed ids must
-    stay globally unique per run: ``ids[-1] - ids[::-1]`` is nondecreasing
-    and preserves run identity (plain ``ids[::-1]`` would let the kernel's
-    in-tile padding collide with real run ids)."""
-    if _use_pallas_scans():
-        from . import pallas_scan as ps
-        head = jnp.concatenate([jnp.ones((1,), bool), tail[:-1]])
-        ids = _blocked_cumsum(head.astype(jnp.int32))
-        rev_ids = ids[-1] - ids[::-1]
-        out = ps.sorted_segment_scan(rev_ids, val[::-1], "first")
-        return out[::-1]
-
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb[..., None], vb, va)
-    out = _blocked_seg_scan(comb, tail[::-1], val[::-1])
-    return out[::-1]
-
-
-# Head-table construction strategy: "sort" compacts run heads with one more
-# 3-operand sort + static slice; "scatter" writes them with a (Q -> C, 2ch)
-# set-scatter.  Chosen by TPU A/B (scripts/profile_union.py); scatters are
-# serial per source row (~15-30 ns) while 2M-row sorts are ~2-3 ms.
-HEAD_TABLE_MODE = "sort"
-# Dense-placement strategy for the two remaining hot scatters (the nbr
-# inverse edges and the mean-mode (T*cap, 5) table): "scatter" = XLA
-# .at[].set (~30 ns per source row, serial); "sort" = place_by_sort's two
-# multi-operand sorts over (size + writes) rows (~2-3 ns/row/operand).
-# A/B knob: TLN_PLACE_MODE=scatter|sort.  TPU A/B at bench scale
-# (/tmp/place_ab.log, r3): scatter 100.3 ms vs sort 102.2 ms -- these
-# scatters have few source rows relative to the sort's (size + n) volume,
-# so the serial scatter wins; "sort" kept as a measured knob only.
-def _place_mode() -> str:
-    import os
-    return os.environ.get("TLN_PLACE_MODE", "scatter")
-
-
-# Head-table source in MEAN_MODE "table_tails": "mean" derives the
-# (packed, birth) tables from the mean tables the union already built
-# (nr_points/tailpos) -- (T, cap) elementwise ops + one cap-row gather
-# instead of _head_table's 3-operand Q-row sort.  A/B knob:
-# TLN_HEAD_TABLE=sort|mean.
-def _head_mode() -> str:
-    import os
-    return os.environ.get("TLN_HEAD_TABLE", "mean")
-
-
-def place_by_sort(dst: jax.Array, payloads, size: int, fills):
-    """Dense placement without a scatter: ``out[k][dst[j]] = payloads[k][j]``
-    for ``dst[j]`` in [0, size); slots nobody writes hold ``fills[k]``.
-
-    Requires at most ONE writer per slot (both call sites guarantee it:
-    inverse neighbor edges have a unique pre-image, and the mean table's
-    writers are distinct run tails).  With duplicate writers the FIRST
-    (stable order) wins, vs an unspecified winner for an XLA set-scatter.
-
-    Mechanics: slot markers (key 2*i) and writes (key 2*dst+1, out-of-range
-    writes key 2*size+1) are sorted together; a write for slot i then sits
-    immediately after its marker, so a shifted compare pairs them, and one
-    more sort compacts the slot rows (whose keys are ascending) back to the
-    front.  Two (size+n)-row sorts replace an n-row serial scatter; XLA
-    scatters cost ~30 ns per source row while sort passes move ~2-3 ns/row
-    per operand (measured, scripts/profile_r2.py), so this wins whenever
-    n is within a few multiples of size.
-    """
-    n = dst.shape[0]
-    skey = (jnp.arange(size, dtype=jnp.uint32) << 1)
-    ok = (dst >= 0) & (dst < size)
-    wkey = jnp.where(ok, (dst.astype(jnp.uint32) << 1) | jnp.uint32(1),
-                     jnp.uint32(2 * size + 1))
-    keys = jnp.concatenate([skey, wkey])
-    ops = [keys]
-    for p_, f in zip(payloads, fills):
-        ops.append(jnp.concatenate(
-            [jnp.full((size,), f, p_.dtype), p_]))
-    srt = jax.lax.sort(tuple(ops), dimension=0, num_keys=1)
-    ks_ = srt[0]
-    is_slot = (ks_ & 1) == 0
-    paired = jnp.concatenate([ks_[1:] == ks_[:-1] + 1,
-                              jnp.zeros((1,), bool)])
-    take = is_slot & paired
-    ck = jnp.where(is_slot, ks_ >> 1, jnp.uint32(0xFFFFFFFF))
-    vals = []
-    for p_, f in zip(srt[1:], fills):
-        shifted = jnp.concatenate([p_[1:], p_[-1:]])
-        vals.append(jnp.where(take, shifted, jnp.asarray(f, p_.dtype)))
-    out = jax.lax.sort((ck,) + tuple(vals), dimension=0, num_keys=1)
-    return tuple(v[:size] for v in out[1:])
-# Per-(vertex, frame) mean strategy: "table" = ONE forward segmented scan +
-# widened tail scatter + per-row gather; "scan" = the r2 two-scan version
-# (forward seg-sum + backward tail-copy); "table_bwd" = forward scan +
-# Pallas backward tail-copy for the per-row totals + a COMPACTED
-# (sort-then-slice) tail scatter for the (T, cap) tables.  A/B'd the same
-# way (scripts/profile_meanscatter.py: the full-Q 5ch set-scatter is
-# 19 ms and the Q-row table gather 21 ms at bench scale; the compaction
-# sort + T*cap-row scatter is 8 ms).  On the real spn graph
-# (scripts/profile_meanmode.py, TPU): table 93.8 ms, table_bwd 88.0
-# (the backward scan's own ~160 MB of traffic eats the gather saving),
-# table_compact 74.6 -- compaction wins, keeping the table+gather flow.
-# "table_tails" (r3, scripts/profile_spn_internals.py): run totals are
-# only read at tail rows, so the full inclusive (Q, 4) scan (+16.3 ms)
-# becomes a lane-only chunk scan + summary chain + tail gathers
-# (ps.seg_sum_tails), and the compaction sort slims to 2 operands.
-MEAN_MODE = "table_tails"
-
-
 def _head_table(head2, fits, urank2, k2, b2, capacity: int, n_frames: int):
     """Capacity-sized (packed, birth) tables from the run heads of the
     (birth, key)-sorted candidates.  Slot 0 is the reserved invalid bucket.
-    """
-    if HEAD_TABLE_MODE == "scatter":
-        dst = jnp.where(head2 & fits, urank2 + 1, capacity)
-        kb = jnp.stack([k2, b2.astype(jnp.uint32)], axis=1)
-        table = jnp.full((capacity, 2), 0, jnp.uint32).at[:, 0].set(
-            PACKED_SENTINEL).at[:, 1].set(jnp.uint32(n_frames))
-        table = table.at[dst].set(kb, mode="drop")
-        return table[:, 0], table[:, 1].astype(jnp.int32)
 
-    # sort mode: stable-sort heads to the front in rank order, slice the
-    # first capacity-1, mask ranks past the true head count.  Replaces the
-    # serial per-row scatter with one more (cheap) multi-operand sort.
+    Stable-sorts heads to the front in rank order, slices the first
+    capacity-1, masks ranks past the true head count: one more (cheap)
+    multi-operand sort instead of a serial per-row scatter (A/B'd r2;
+    scatters are ~15-30 ns per source row while 2M-row sorts are ~2-3 ms).
+    Used by the no-mean path; the mean path derives its head table from
+    the mean tables (see _union_with_birth_and_mean).
+    """
     hkey = jnp.where(head2 & fits, urank2.astype(jnp.uint32),
                      jnp.uint32(0xFFFFFFFF))
     _, kk, bb = jax.lax.sort((hkey, k2, b2.astype(jnp.uint32)),
@@ -479,131 +364,41 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     data = jnp.stack([px2 * w2, py2 * w2, pz2 * w2, w2], axis=1)
     bucket = jnp.where(fits, frame2 * capacity + fin,
                        n_frames * capacity)
-    ids_vf = None
-    if MEAN_MODE != "table_tails":
-        run_tot = _seg_sum_rows(head_vf, data)   # inclusive scan: tails
-        #                                          carry totals
-
-    if MEAN_MODE == "table_tails":
-        # r3: the run totals are only ever read at TAIL rows, so the full
-        # inclusive (Q, 4) scan (+16.3 ms at bench scale,
-        # scripts/profile_spn_internals.py) shrinks to a lane-only chunk
-        # scan + a (Q/32)-row summary chain + gathers at the compacted
-        # tail positions (ps.seg_sum_tails).  The compaction sort slims
-        # from 6 operands to 2 (tkey, posf) because the sums now arrive
-        # by gather instead of riding the sort.
-        m = n_frames * capacity
-        posf = jnp.arange(q, dtype=jnp.float32)
-        tkey = jnp.where(tail_vf & fits, bucket.astype(jnp.uint32),
-                         jnp.uint32(0xFFFFFFFF))
-        sk, spos = jax.lax.sort((tkey, posf), dimension=0, num_keys=1)
-        if q < m:
-            pad = m - q
-            sk = jnp.concatenate([sk, jnp.full((pad,), 0xFFFFFFFF,
-                                               jnp.uint32)])
-            spos = jnp.concatenate([spos, jnp.zeros((pad,), jnp.float32)])
-        dd = jnp.where(sk[:m] != jnp.uint32(0xFFFFFFFF),
-                       sk[:m].astype(jnp.int32), m)
-        tails_i = spos[:m].astype(jnp.int32)
-        ids_vf = _blocked_cumsum(head_vf.astype(jnp.int32))
-        if _use_pallas_scans():
-            from . import pallas_scan as ps
-            tail_sums = ps.seg_sum_tails(ids_vf, data, tails_i)
-        else:
-            tail_sums = _seg_sum_rows(head_vf, data)[tails_i]
-        buf = jnp.zeros((m + 1, 5), jnp.float32).at[dd].set(
-            jnp.concatenate([tail_sums, spos[:m, None]], axis=1))
-        tot = buf[bucket][:, :4]
-        nr_points = buf[:m, 3].reshape(n_frames, capacity)
-        tailpos = buf[:m, 4].astype(jnp.int32).reshape(n_frames, capacity)
-    elif MEAN_MODE == "table":
-        # r3: ONE scan.  Tail rows (which hold the full sub-run totals)
-        # scatter into a (T*cap+1, 5) table; every row then GATHERS its
-        # total back (~2.6 ns/row vs ~4x-a-sort for the backward scan).
-        # The table's w channel IS nr_points, and channel 4 records the
-        # tail's sorted POSITION (exact in f32 up to 2^24 rows) for the
-        # batched-pointnet extraction (SortedPN.tailpos) -- widening the
-        # scatter is free, its cost is per indexed row.
-        dst_np = jnp.where(tail_vf, bucket, n_frames * capacity)
-        posf = jnp.arange(q, dtype=jnp.float32)
-        buf = jnp.zeros((n_frames * capacity + 1, 5), jnp.float32
-                        ).at[dst_np].set(
-                            jnp.concatenate([run_tot, posf[:, None]], 1))
-        tot = buf[bucket][:, :4]
-        nr_points = buf[: n_frames * capacity, 3].reshape(n_frames, capacity)
-        tailpos = buf[: n_frames * capacity, 4].astype(jnp.int32).reshape(
-            n_frames, capacity)
-    elif MEAN_MODE == "table_compact":
-        # same table+gather dataflow as "table", but the (T*cap+1, 5)
-        # table is built by scattering only the T*cap COMPACTED tail rows
-        # (one more multi-operand sort moves them to the front; scatter
-        # cost is per source row: 19 ms full-Q vs 8 ms sort+slice+scatter,
-        # scripts/profile_meanscatter.py)
-        m = n_frames * capacity
-        posf = jnp.arange(q, dtype=jnp.float32)
-        tkey = jnp.where(tail_vf & fits, bucket.astype(jnp.uint32),
-                         jnp.uint32(0xFFFFFFFF))
-        sk, s0, s1, s2, s3, spos = jax.lax.sort(
-            (tkey, run_tot[:, 0], run_tot[:, 1], run_tot[:, 2],
-             run_tot[:, 3], posf), dimension=0, num_keys=1)
-        if q < m:
-            pad = m - q
-            sk = jnp.concatenate([sk, jnp.full((pad,), 0xFFFFFFFF,
-                                               jnp.uint32)])
-            zpad = jnp.zeros((pad,), jnp.float32)
-            s0, s1, s2, s3, spos = (jnp.concatenate([a, zpad])
-                                    for a in (s0, s1, s2, s3, spos))
-        dd = jnp.where(sk[:m] != jnp.uint32(0xFFFFFFFF),
-                       sk[:m].astype(jnp.int32), m)
-        if _place_mode() == "sort":
-            outs = place_by_sort(dd, (s0[:m], s1[:m], s2[:m], s3[:m],
-                                      spos[:m]), m, (0.0,) * 5)
-            buf = jnp.concatenate([jnp.stack(outs, axis=1),
-                                   jnp.zeros((1, 5), jnp.float32)])
-        else:
-            buf = jnp.zeros((m + 1, 5), jnp.float32).at[dd].set(
-                jnp.stack([s0[:m], s1[:m], s2[:m], s3[:m], spos[:m]],
-                          axis=1))
-        import os
-        if os.environ.get("TLN_PROFILE_SKIP_MEAN_GATHER") == "1":
-            # PROFILING ONLY (wrong results): measures the Q-row table
-            # gather's real in-graph cost as a delta
-            tot = jnp.broadcast_to(jnp.float32(1.0), (q, 4))
-        else:
-            tot = buf[bucket][:, :4]
-        nr_points = buf[:m, 3].reshape(n_frames, capacity)
-        tailpos = buf[:m, 4].astype(jnp.int32).reshape(n_frames, capacity)
-    elif MEAN_MODE == "table_bwd":
-        # per-row totals come back by ONE Pallas backward pass instead of
-        # the Q-row table gather; the (T, cap) nr_points/tailpos tables
-        # come from a scatter of only T*cap rows after one more sort
-        # compacts the real tails to the front (scatter cost is per
-        # SOURCE row, and only ~T*cap of the Q rows are tails).
-        tot = _seg_copy_tail_rows(tail_vf, run_tot)
-        m = n_frames * capacity
-        posf = jnp.arange(q, dtype=jnp.float32)
-        tkey = jnp.where(tail_vf & fits, bucket.astype(jnp.uint32),
-                         jnp.uint32(0xFFFFFFFF))
-        sk, sw, spos = jax.lax.sort((tkey, run_tot[:, 3], posf),
-                                    dimension=0, num_keys=1)
-        if q < m:
-            pad = m - q
-            sk = jnp.concatenate([sk, jnp.full((pad,), 0xFFFFFFFF,
-                                               jnp.uint32)])
-            sw = jnp.concatenate([sw, jnp.zeros((pad,), jnp.float32)])
-            spos = jnp.concatenate([spos, jnp.zeros((pad,), jnp.float32)])
-        dd = jnp.where(sk[:m] != jnp.uint32(0xFFFFFFFF),
-                       sk[:m].astype(jnp.int32), m)
-        buf = jnp.zeros((m + 1, 2), jnp.float32).at[dd].set(
-            jnp.stack([sw[:m], spos[:m]], axis=1))
-        nr_points = buf[:m, 0].reshape(n_frames, capacity)
-        tailpos = buf[:m, 1].astype(jnp.int32).reshape(n_frames, capacity)
+    # Per-(vertex, frame) mean via "table_tails" (the r3 winner of the
+    # measured ladder scan -> table -> table_bwd -> table_compact ->
+    # table_tails; losers deleted r4 per VERDICT item 6, history in
+    # CLAUDE.md).  The run totals are only ever read at TAIL rows, so the
+    # full inclusive (Q, 4) scan (+16.3 ms at bench scale,
+    # scripts/profile_spn_internals.py) shrinks to a lane-only chunk scan
+    # + a (Q/32)-row summary chain + gathers at the compacted tail
+    # positions (ps.seg_sum_tails).  The compaction sort carries only
+    # 2 operands (tkey, posf) because the sums arrive by gather instead
+    # of riding the sort; the scatter into the (T*cap+1, 5) table costs
+    # per SOURCE row, and only ~T*cap of the Q rows are tails.
+    m = n_frames * capacity
+    posf = jnp.arange(q, dtype=jnp.float32)
+    tkey = jnp.where(tail_vf & fits, bucket.astype(jnp.uint32),
+                     jnp.uint32(0xFFFFFFFF))
+    sk, spos = jax.lax.sort((tkey, posf), dimension=0, num_keys=1)
+    if q < m:
+        pad = m - q
+        sk = jnp.concatenate([sk, jnp.full((pad,), 0xFFFFFFFF,
+                                           jnp.uint32)])
+        spos = jnp.concatenate([spos, jnp.zeros((pad,), jnp.float32)])
+    dd = jnp.where(sk[:m] != jnp.uint32(0xFFFFFFFF),
+                   sk[:m].astype(jnp.int32), m)
+    tails_i = spos[:m].astype(jnp.int32)
+    ids_vf = _blocked_cumsum(head_vf.astype(jnp.int32))
+    if _use_pallas_scans():
+        from . import pallas_scan as ps
+        tail_sums = ps.seg_sum_tails(ids_vf, data, tails_i)
     else:
-        tot = _seg_copy_tail_rows(tail_vf, run_tot)
-        dst_np = jnp.where(tail_vf & fits, bucket, n_frames * capacity)
-        nr_points = jnp.zeros((n_frames * capacity,), jnp.float32).at[
-            dst_np].set(tot[:, 3], mode="drop").reshape(n_frames, capacity)
-        tailpos = None
+        tail_sums = _seg_sum_rows(head_vf, data)[tails_i]
+    buf = jnp.zeros((m + 1, 5), jnp.float32).at[dd].set(
+        jnp.concatenate([tail_sums, spos[:m, None]], axis=1))
+    tot = buf[bucket][:, :4]
+    nr_points = buf[:m, 3].reshape(n_frames, capacity)
+    tailpos = buf[:m, 4].astype(jnp.int32).reshape(n_frames, capacity)
     mean2 = tot[:, :3] / jnp.maximum(tot[:, 3:], 1.0)
     rel2 = (jnp.stack([px2, py2, pz2], axis=1) - mean2) * w2[:, None]
     nr_points = nr_points.at[:, 0].set(0.0)
@@ -612,7 +407,7 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
     # When the caller's pointnet consumes the SORTED rel (the batched
     # path reads SortedPN.rel; row_rel_pos has no other consumer), the
     # unsort drops its three rel operands (~1.2 ms per 2M-row operand).
-    if skip_rel_unsort and tailpos is not None:
+    if skip_rel_unsort:
         _, row_idx = jax.lax.sort((so2, fin), dimension=0, num_keys=1)
         rel = jnp.zeros((q, 3), jnp.float32)
     else:
@@ -621,37 +416,32 @@ def _union_with_birth_and_mean(cand_packed: jax.Array, pos_rows: jax.Array,
             dimension=0, num_keys=1)
         rel = jnp.stack([rx, ry, rz], axis=1)
 
-    if (MEAN_MODE == "table_tails" and tailpos is not None
-            and _head_mode() == "mean"):
-        # r3: the head table falls out of the mean tables.  A slot's birth
-        # is the first frame with points (``fits`` is uniform across a key
-        # run -- the whole run fits or none of it does -- so the earliest
-        # row counted in nr_points IS the run head's frame), and
-        # tailpos[birth, s] is a sorted row position inside that slot
-        # whose k2 is the slot's key.  (T, cap) elementwise ops + one
-        # cap-row gather replace _head_table's 3-operand Q-row sort.
-        # Column 0 of nr_points is already zeroed (reserved bucket), so
-        # slot 0 falls out as (PACKED_SENTINEL, n_frames) like the table.
-        nz = nr_points > 0.0                      # (T, cap)
-        any_slot = nz.any(axis=0)
-        bf = jnp.argmax(nz, axis=0).astype(jnp.int32)
-        rep = tailpos[bf, jnp.arange(capacity, dtype=jnp.int32)]
-        packed_final = jnp.where(any_slot, k2[rep], PACKED_SENTINEL)
-        birth_final = jnp.where(any_slot, bf, n_frames)
-    else:
-        packed_final, birth_final = _head_table(head2, fits, urank2, k2, b2,
-                                                capacity, n_frames)
+    # r3: the head table falls out of the mean tables.  A slot's birth
+    # is the first frame with points (``fits`` is uniform across a key
+    # run -- the whole run fits or none of it does -- so the earliest
+    # row counted in nr_points IS the run head's frame), and
+    # tailpos[birth, s] is a sorted row position inside that slot
+    # whose k2 is the slot's key.  (T, cap) elementwise ops + one
+    # cap-row gather replace _head_table's 3-operand Q-row sort.
+    # Column 0 of nr_points is already zeroed (reserved bucket), so
+    # slot 0 falls out as (PACKED_SENTINEL, n_frames) like the table.
+    nz = nr_points > 0.0                      # (T, cap)
+    any_slot = nz.any(axis=0)
+    bf = jnp.argmax(nz, axis=0).astype(jnp.int32)
+    rep = tailpos[bf, jnp.arange(capacity, dtype=jnp.int32)]
+    packed_final = jnp.where(any_slot, k2[rep], PACKED_SENTINEL)
+    birth_final = jnp.where(any_slot, bf, n_frames)
 
     counts = 1 + jnp.sum(
         (birth_final[None, :] <= jnp.arange(n_frames)[:, None])
         & (packed_final != PACKED_SENTINEL)[None, :], axis=1).astype(jnp.int32)
     pn_vals = pn_bary = None
-    if n_extra and tailpos is not None:
+    if n_extra:
         pn_vals, pn_bary = _unpack_pn_rows(ex2, n_vals)
-    sorted_pn = (None if tailpos is None else SortedPN(
+    sorted_pn = SortedPN(
         rel=rel2, so=so2, live=fits, head_vf=head_vf, bucket=bucket,
         tailpos=tailpos, vals=pn_vals, bary=pn_bary,
-        head_count=ids_vf))
+        head_count=ids_vf)
     return packed_final, birth_final, row_idx, counts, rel, nr_points, \
         sorted_pn
 
@@ -767,14 +557,13 @@ def _build_level(packed_final, birth_final, counts, n_frames,
                      fwd_idx * n_half + a_idx, nr * n_half)
     src = jnp.broadcast_to(
         stable[:nr, None] | (birth_final[:nr, None] << 24), (nr, n_half))
-    if _place_mode() == "sort":
-        (rev_flat,) = place_by_sort(dstf.reshape(-1), (src.reshape(-1),),
-                                    nr * n_half, (-1,))
-        rev = rev_flat.reshape(nr, n_half)
-    else:
-        buf = jnp.full((nr * n_half + 1,), -1, jnp.int32).at[
-            dstf.reshape(-1)].set(src.reshape(-1))
-        rev = buf[: nr * n_half].reshape(nr, n_half)
+    # XLA set-scatter (~30 ns per source row): A/B'd r3 against a
+    # sort-based dense placement (place_by_sort, deleted r4) at bench
+    # scale -- scatter 100.3 ms vs sort 102.2 ms whole-graph; these
+    # scatters have few source rows relative to a sort's volume.
+    buf = jnp.full((nr * n_half + 1,), -1, jnp.int32).at[
+        dstf.reshape(-1)].set(src.reshape(-1))
+    rev = buf[: nr * n_half].reshape(nr, n_half)
     rev_found = (rev >= 0) & valid_self[:, None]
     rev_idx = jnp.where(rev_found, rev & 0xFFFFFF, -1)
     rev_birth = rev >> 24

@@ -1,4 +1,4 @@
-"""Persistent XLA compilation cache (VERDICT r2 item 4).
+"""Persistent XLA compilation cache (VERDICT r2 item 4, r3 item 4).
 
 Bench-scale graphs compile in 3-10 minutes on the remote compile service
 (CLAUDE.md); without a persistent cache every cold process pays that again
@@ -6,6 +6,16 @@ for an identical graph.  ``enable_compile_cache()`` points JAX's
 compilation cache at a stable on-disk directory so repeat invocations of
 ``bench.py`` / ``train_ln.py`` / ``__graft_entry__.py`` reuse serialized
 executables.
+
+CPU gets a cache too (r4): the test suite re-jits the same graphs every
+run (74-minute suite without it, ~7x faster per-graph with a warm cache).
+XLA:CPU AOT results embed the *compile-time* machine-feature list, which
+includes XLA pseudo-features (``+prefer-no-scatter``) that never appear in
+the host's raw CPUID flags, so the loader logs a scary-but-false
+per-entry feature-mismatch ERROR; re-tested on current jax the entries
+load and run correctly on the same machine.  To make cross-machine reuse
+impossible (the case that genuinely can SIGILL), the CPU cache directory
+is scoped by a fingerprint of /proc/cpuinfo's feature flags.
 
 Reference analog: none -- torch caches nothing across processes; this is
 a TPU/XLA-stack capability (SURVEY §5.1 iteration-speed concerns).
@@ -20,20 +30,36 @@ DEFAULT_CACHE_DIR = os.environ.get(
 )
 
 
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU's feature flags (plus arch)."""
+    import hashlib
+    import platform
+
+    feats = platform.processor() or platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = line.strip()
+                    break
+    except OSError:
+        pass
+    return hashlib.sha256(
+        (platform.machine() + ":" + feats).encode()).hexdigest()[:12]
+
+
 def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     """Enable JAX's persistent compilation cache; returns the cache dir.
 
-    Safe to call multiple times.  No-op on the CPU backend: XLA:CPU AOT
-    results embed host "machine features" (incl. pseudo-features like
-    +prefer-no-scatter) whose reload check warns per entry and can SIGILL
-    on mismatch -- and CPU compiles are fast anyway.  The motivation is the
-    remote TPU compile service (minutes per bench-scale graph).
+    Safe to call multiple times.  On the CPU backend the directory is
+    suffixed with a machine-feature fingerprint (see module docstring);
+    the TPU/remote-compile cache is host-independent.
     """
     import jax
 
-    if jax.default_backend() == "cpu":
-        return None
     path = cache_dir or DEFAULT_CACHE_DIR
+    if jax.default_backend() == "cpu":
+        path = f"{path}_cpu-{_machine_tag()}"
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # Cache everything: the tunnel dispatch floor (~31 ms) dwarfs cache

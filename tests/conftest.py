@@ -21,7 +21,12 @@ jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 
 # Persistent compile cache: the suite re-jits the same graphs every run;
-# cache entries are keyed by backend+HLO so CPU/TPU artifacts coexist.
+# cache entries are keyed by backend+HLO so CPU/TPU artifacts coexist, and
+# the CPU cache dir is machine-fingerprint-scoped (compile_cache.py).  The
+# XLA:CPU AOT loader logs a false-positive feature-mismatch ERROR per
+# cached entry (pseudo-features like +prefer-no-scatter never appear in
+# raw CPUID flags); silence C++ logs -- Python exceptions still surface.
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 from temporal_latticenet_tpu.utils.compile_cache import enable_compile_cache  # noqa: E402
 
 enable_compile_cache()

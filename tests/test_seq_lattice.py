@@ -205,45 +205,6 @@ def test_incremental_streaming_matches_full_streaming(rng):
     assert bool(fsc.overflowed)             # sticky
 
 
-def test_union_mode_variants_identical(rng):
-    """The A/B-able union internals (head-table scatter vs sort; mean via
-    two scans vs scan+table) must be bit-identical."""
-    from temporal_latticenet_tpu.ops import seq_lattice as sl
-
-    q, cap, T = 4096, 512, 4
-    pts = rng.normal(size=(q // 4, 3)).astype(np.float32) * 3
-    pos_rows = np.repeat(pts, 4, axis=0)
-    keys = rng.integers(0, 200, size=(q,)).astype(np.uint32)
-    keys[rng.random(q) < 0.05] = np.uint32(0xFFFFFFFF)  # sentinels
-    cand = jnp.asarray(keys)
-    posr = jnp.asarray(pos_rows)
-
-    outs = {}
-    for ht in ("sort", "scatter"):
-        for mm in ("table", "scan", "table_bwd", "table_compact"):
-            sl.HEAD_TABLE_MODE, sl.MEAN_MODE = ht, mm
-            try:
-                outs[(ht, mm)] = jax.jit(
-                    lambda c, p: sl._union_with_birth_and_mean(c, p, cap, T)
-                )(cand, posr)
-            finally:
-                sl.HEAD_TABLE_MODE, sl.MEAN_MODE = "sort", "table"
-    base = outs[("sort", "table")]
-    for k, v in outs.items():
-        # element 6 (sorted_pn aux) legitimately exists only in the table
-        # modes (scan mode returns None)
-        for i, (a, b) in enumerate(zip(base[:6], v[:6])):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                          err_msg=f"{k} out[{i}]")
-        if k[1] in ("table_bwd", "table_compact"):
-            assert v[6] is not None
-            for f in ("rel", "so", "live", "head_vf", "bucket", "tailpos"):
-                np.testing.assert_array_equal(
-                    np.asarray(getattr(base[6], f)),
-                    np.asarray(getattr(v[6], f)),
-                    err_msg=f"{k} sorted_pn.{f}")
-
-
 def test_blocked_seg_scan_matches_associative_scan(rng):
     """The two-level blocked segmented scan must be numerically identical
     to jax.lax.associative_scan for both combine functions, including
@@ -275,55 +236,6 @@ def test_blocked_seg_scan_matches_associative_scan(rng):
         np.testing.assert_allclose(
             np.asarray(sl._blocked_seg_scan(comb_sum, head, vk)),
             np.asarray(refk), rtol=1e-5, atol=1e-5)
-
-
-def test_place_by_sort_matches_scatter(rng):
-    """place_by_sort == XLA set-scatter for unique writers, incl. dumped
-    out-of-range destinations, empty slots, and mixed payload dtypes."""
-    size = 777
-    for n, frac in ((1500, 0.4), (300, 0.9), (size, 1.0)):
-        dst_pool = rng.permutation(size)[: int(size * frac)]
-        dst = np.full((n,), size + 3, np.int32)          # default: dumped
-        k = min(n, dst_pool.size)
-        dst[:k] = dst_pool[:k]
-        dst[rng.random(n) < 0.1] = -1                    # negative: dumped
-        pf = rng.normal(size=(n,)).astype(np.float32)
-        pi = rng.integers(-5, 5, size=(n,)).astype(np.int32)
-
-        got_f, got_i = sl.place_by_sort(
-            jnp.asarray(dst), (jnp.asarray(pf), jnp.asarray(pi)), size,
-            (0.0, -1))
-        ref_f = np.zeros((size + 1,), np.float32)
-        ref_i = np.full((size + 1,), -1, np.int32)
-        ok = (dst >= 0) & (dst < size)
-        ref_f[np.where(ok, dst, size)] = np.where(ok, pf, 0.0)
-        ref_i[np.where(ok, dst, size)] = np.where(ok, pi, -1)
-        np.testing.assert_array_equal(np.asarray(got_f), ref_f[:size])
-        np.testing.assert_array_equal(np.asarray(got_i), ref_i[:size])
-
-
-def test_place_mode_variants_identical(rng, monkeypatch):
-    """The full sequence build is bit-identical under TLN_PLACE_MODE
-    sort vs scatter (inverse nbr edges + the mean table placement)."""
-    pos, msk = _seq(rng)
-    outs = {}
-    for mode in ("sort", "scatter"):
-        monkeypatch.setenv("TLN_PLACE_MODE", mode)
-        outs[mode] = jax.jit(lambda p, m: sl.build_sequence_lattice(
-            p, m, SIGMA, CAPS, 2, nbr_caps=(512, 384, 256)))(pos, msk)
-    a, b = outs["sort"], outs["scatter"]
-    for la, lb in zip(a.levels, b.levels):
-        for f in ("keys", "birth", "counts", "nbr_idx", "nbr_found",
-                  "nbr_birth"):
-            np.testing.assert_array_equal(
-                np.asarray(getattr(la, f)), np.asarray(getattr(lb, f)),
-                err_msg=f"level field {f}")
-    np.testing.assert_array_equal(np.asarray(a.nr_points),
-                                  np.asarray(b.nr_points))
-    for f in ("rel", "so", "live", "head_vf", "bucket", "tailpos"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(a.sorted_pn, f)),
-            np.asarray(getattr(b.sorted_pn, f)), err_msg=f"sorted_pn.{f}")
 
 
 def test_sorted_vals_match_gather_path(rng):
@@ -376,55 +288,3 @@ def test_want_row_rel_false_matches(rng):
         np.testing.assert_array_equal(np.asarray(la.nbr_idx),
                                       np.asarray(lb.nbr_idx))
 
-
-def test_mean_mode_table_tails_matches_compact(rng, monkeypatch):
-    """MEAN_MODE table_tails (slim compaction sort + tail-gathered sums)
-    is bit-identical to table_compact on the full sequence build."""
-    pos, msk = _seq(rng)
-    vals = jnp.asarray(
-        rng.random((pos.shape[0], pos.shape[1], 1)).astype(np.float32))
-    outs = {}
-    for mode in ("table_tails", "table_compact"):
-        monkeypatch.setattr(sl, "MEAN_MODE", mode)
-        outs[mode] = jax.jit(lambda p, m, v: sl.build_sequence_lattice(
-            p, m, SIGMA, CAPS, 2, pn_values=v))(pos, msk, vals)
-    a, b = outs["table_tails"], outs["table_compact"]
-    np.testing.assert_array_equal(np.asarray(a.nr_points),
-                                  np.asarray(b.nr_points))
-    np.testing.assert_array_equal(np.asarray(a.row_rel_pos),
-                                  np.asarray(b.row_rel_pos))
-    for f in ("rel", "so", "live", "head_vf", "bucket", "tailpos", "vals",
-              "bary"):
-        np.testing.assert_array_equal(
-            np.asarray(getattr(a.sorted_pn, f)),
-            np.asarray(getattr(b.sorted_pn, f)), err_msg=f"sorted_pn.{f}")
-    for la, lb in zip(a.levels, b.levels):
-        for f in ("keys", "birth", "counts"):
-            np.testing.assert_array_equal(np.asarray(getattr(la, f)),
-                                          np.asarray(getattr(lb, f)),
-                                          err_msg=f"level field {f}")
-
-
-def test_head_table_mean_matches_sort(rng, monkeypatch):
-    """In MEAN_MODE table_tails the head table derived from the mean
-    tables (birth = first frame with points, key gathered at
-    tailpos[birth, slot]) is bit-identical to _head_table's sorted-heads
-    path -- including sentinels, duplicate keys across frames, and
-    capacity overflow (more unique keys than slots)."""
-    q, T = 4096, 4
-    pos_rows = jnp.asarray(rng.normal(size=(q, 3)).astype(np.float32) * 3)
-    keys = rng.integers(0, 900, size=(q,)).astype(np.uint32)
-    keys[rng.random(q) < 0.05] = np.uint32(0xFFFFFFFF)  # sentinels
-    cand = jnp.asarray(keys)
-
-    monkeypatch.setattr(sl, "MEAN_MODE", "table_tails")
-    for cap in (512, 2048):   # 512 overflows (900 uniques), 2048 fits all
-        outs = {}
-        for hm in ("mean", "sort"):
-            monkeypatch.setenv("TLN_HEAD_TABLE", hm)
-            outs[hm] = jax.jit(
-                lambda c, p: sl._union_with_birth_and_mean(c, p, cap, T)
-            )(cand, pos_rows)
-        for i, (a, b) in enumerate(zip(outs["mean"][:6], outs["sort"][:6])):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
-                                          err_msg=f"cap={cap} out[{i}]")
