@@ -8,6 +8,8 @@ segment upstream of the cut while the forward (and the optimizer update,
 grad-norm, metrics fetch) stay IDENTICAL across variants.  Successive
 deltas therefore attribute backward cost per network segment:
 
+  fwd+loss        forward + loss on the train path (fold_in rng, dropout
+                  on), NO grad/optimizer -- the pre-backward floor
   carry+logits    fwd + loss backward + optimizer (the floor)
   carry+slice_in  + DeformSlice head backward (slice gather transpose)
   carry+late      + final-frame up-resnets backward
@@ -38,11 +40,13 @@ enable_compile_cache()
 
 VARIANTS = [
     # (label, TLN_PROFILE_SG, carry_cut)
-    # fwd+loss: NO value_and_grad / optimizer at all -- the same forward +
-    # loss + metrics in a plain jit.  Against the synced inference number
-    # (bench_details seconds_per_sequence_synced) it prices the loss; the
-    # carry+logits - fwd+loss delta prices the grad machinery + AdamW floor.
-    ("fwd+loss", "fwdonly", True),
+    # fwd+loss: NO value_and_grad / optimizer at all -- engine's loss_step,
+    # the SAME stochastic batch_loss path as train_step (fold_in rng,
+    # dropout on), so the carry+logits - fwd+loss delta prices exactly the
+    # grad machinery + AdamW floor.  Against the synced inference number
+    # (bench_details seconds_per_sequence_synced) it prices the loss.
+    # carry flag is meaningless here (no backward to cut).
+    ("fwd+loss", "fwdonly", False),
     ("carry+logits", "logits", True),
     ("carry+slice_in", "slice_in", True),
     ("carry+late", "late", True),
@@ -101,10 +105,10 @@ def main():
         if sg == "fwdonly":
             os.environ.pop("TLN_PROFILE_SG", None)
             os.environ["TLN_PROFILE_SG_CARRY"] = "0"
-            _, eval_step = engine.make_train_step(model, cfg, rt, tx)
+            _ts, _ = engine.make_train_step(model, cfg, rt, tx)
 
-            def train_step(st, b, _lr, _ev=eval_step):
-                logp, m = _ev(st.params, b)
+            def train_step(st, b, _lr, _loss=_ts.loss_step):
+                logp, m = _loss(st.params, b, st.step)
                 m = dict(m, grad_norm=jnp.float32(0.0))
                 return st, logp, m
         else:

@@ -12,6 +12,7 @@ EPOCHS=${EPOCHS:-48}
 SCALE=${SCALE:-small}
 WORLDS=${WORLDS:-10}
 SCANS=${SCANS:-12}
+REMAT=${REMAT:-full}
 ROOT=${ROOT:-/tmp/moving_r3}
 for variant in temporal static accum; do
   # retry + --resume: transient TPU-tunnel failures (INTERNAL backend
@@ -20,7 +21,7 @@ for variant in temporal static accum; do
   for attempt in 1 2 3 4; do
     python -u scripts/train_lidar.py --variant $variant --moving 1 \
       --worlds $WORLDS --scans $SCANS --epochs $EPOCHS --scale $SCALE \
-      --root $ROOT --resume \
+      --root $ROOT --resume --remat $REMAT \
       --out artifacts/moving_${variant}_${SCALE}.json \
       2>&1 | tail -20
     rc=$?

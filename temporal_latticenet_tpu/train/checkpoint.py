@@ -35,8 +35,24 @@ def save(path: str, params, opt_state=None, step: int = 0):
         f.write(flax.serialization.to_bytes(payload))
 
 
-def load(path: str, params_template, opt_state_template=None):
-    """Restore into templates (shape/dtype skeletons from a fresh init)."""
+def load(path: str, params_template, opt_state_template=None, cfg=None):
+    """Restore into templates (shape/dtype skeletons from a fresh init).
+
+    A ``.pt`` path routes through the torch converter (the reference's
+    pretrained checkpoints, BASELINE.json config 4): keys are mapped,
+    every leaf is shape-validated against the template (per-key error
+    report on mismatch -- torch_convert.validate_converted), and the
+    optimiser state starts fresh (the reference saves weights only,
+    train_ln.py:252-255)."""
+    if path.endswith(".pt"):
+        if cfg is None:
+            raise ValueError("loading a .pt checkpoint needs the model cfg")
+        from . import torch_convert as tc
+        params = tc.load_pt_checkpoint(path, cfg, params_template)
+        out = {"params": params, "step": 0}
+        if opt_state_template is not None:
+            out["opt_state"] = opt_state_template
+        return out
     with open(path, "rb") as f:
         data = f.read()
     template = {"params": params_template, "step": 0}

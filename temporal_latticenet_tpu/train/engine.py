@@ -363,6 +363,22 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                    "vertex_overflow": jnp.any(aux["vertex_overflow"])}
         return new_state, logp, metrics
 
+    # forward+loss on the SAME stochastic path as train_step (fold_in rng,
+    # dropout on) but with no value_and_grad / optimizer -- the honest
+    # baseline for backward-cost attribution (scripts/profile_backward.py):
+    # the 'carry+logits - fwd+loss' delta is then purely grad machinery +
+    # AdamW floor, not dropout/RNG differences.
+    @jax.jit
+    def loss_step(params, batch: SeqBatch, step):
+        rng = jax.random.fold_in(base_key, step)
+        loss, (logp, parts, aux) = batch_loss(params, batch, rng)
+        metrics = {"loss": loss,
+                   "lovasz": jnp.mean(parts["lovasz"]),
+                   "nll": jnp.mean(parts["nll"]),
+                   "nr_vertices": jnp.max(aux["nr_vertices"]),
+                   "vertex_overflow": jnp.any(aux["vertex_overflow"])}
+        return logp, metrics
+
     @jax.jit
     def eval_step(params, batch: SeqBatch):
         losses, (logp, parts, aux) = jax.vmap(
@@ -372,6 +388,7 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                       "nr_vertices": jnp.max(aux["nr_vertices"]),
                       "vertex_overflow": jnp.any(aux["vertex_overflow"])}
 
+    train_step.loss_step = loss_step
     return train_step, eval_step
 
 

@@ -105,7 +105,7 @@ def run_training(config_file: str, max_steps: int | None = None,
     if train_cfg.get("load_checkpoint"):
         path = os.path.join(train_cfg["checkpoint_path"],
                             train_cfg["load_checkpoint_model"])
-        restored = ckpt.load(path, state.params, state.opt_state)
+        restored = ckpt.load(path, state.params, state.opt_state, cfg=cfg)
         state = engine.TrainState(restored["params"], restored["opt_state"],
                                   restored["step"])
         print("loaded checkpoint:", path)
@@ -290,7 +290,7 @@ def run_eval(config_file: str, split: str = "test", max_seqs: int | None = None,
                      eval_cfg["load_checkpoint_model"])
         if eval_cfg.get("load_checkpoint_model") else None)
     if path:
-        restored = ckpt.load(path, state.params)
+        restored = ckpt.load(path, state.params, cfg=cfg)
         state = engine.TrainState(restored["params"], state.opt_state,
                                   restored["step"])
         print("loaded checkpoint:", path)

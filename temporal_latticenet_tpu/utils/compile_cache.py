@@ -60,6 +60,10 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     path = cache_dir or DEFAULT_CACHE_DIR
     if jax.default_backend() == "cpu":
         path = f"{path}_cpu-{_machine_tag()}"
+        # the AOT loader logs a false-positive feature-mismatch ERROR per
+        # cached entry (XLA pseudo-features never appear in raw CPUID
+        # flags); C++ log init is lazy, so this works post-import
+        os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     # Cache everything: the tunnel dispatch floor (~31 ms) dwarfs cache

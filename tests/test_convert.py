@@ -312,3 +312,81 @@ def test_convert_unresolvable_inner_reports_keys():
               if not k.startswith("coarsens_list.0.gn")}
     with pytest.raises(KeyError, match="coarsens_list.0"):
         tc.convert_state_dict(broken, cfg)
+
+
+def _hostile_cfg():
+    from temporal_latticenet_tpu.config import ModelConfig
+    return ModelConfig(nr_classes=8, rnn_modules=("gru", "gru", "aflow", "gru"),
+                       frames_per_seq=2, pointnet_layers=(4, 8),
+                       pointnet_start_nr_channels=8, nr_downsamples=2,
+                       nr_blocks_down_stage=(1, 1), nr_blocks_bottleneck=1,
+                       nr_blocks_up_stage=(1, 1))
+
+
+def test_validate_converted_clean_and_transposed():
+    """VERDICT r3 item 8: a converted tree validates leaf-by-leaf against a
+    fresh-init template; a TRANSPOSED tensor (the classic layout surprise a
+    real .pt could spring) fails with the exact param path, both shapes,
+    and a transposition hint -- never a silent load."""
+    cfg = _hostile_cfg()
+    sd, params = _reference_shaped_state_dict(cfg)
+    converted, report = tc.convert_state_dict(sd, cfg)
+    assert report["unconsumed"] == []
+    tc.validate_converted(converted["params"], params)  # clean: no raise
+
+    # transpose a non-square conv weight (8 -> 16 coarsen)
+    hostile = dict(sd)
+    k = "coarsens_list.0.conv.weight"
+    assert np.asarray(hostile[k]).shape[0] != np.asarray(hostile[k]).shape[1]
+    hostile[k] = np.ascontiguousarray(np.asarray(hostile[k]).T)
+    converted2, _ = tc.convert_state_dict(hostile, cfg)
+    with pytest.raises(ValueError) as ei:
+        tc.validate_converted(converted2["params"], params)
+    msg = str(ei.value)
+    assert "coarsens_list_0/conv/kernel" in msg
+    assert "transposed?" in msg
+    assert "1 problem" in msg
+
+
+def test_validate_converted_missing_and_extra():
+    """Dropped and foreign leaves are each reported by path."""
+    cfg = _hostile_cfg()
+    sd, params = _reference_shaped_state_dict(cfg)
+    converted, _ = tc.convert_state_dict(sd, cfg)
+    broken = jax.tree_util.tree_map(lambda x: x, converted["params"])
+    del broken["coarsens_list_1"]["gn"]["scale"]
+    broken["coarsens_list_1"]["gn"]["rogue"] = np.zeros((3,), np.float32)
+    with pytest.raises(ValueError) as ei:
+        tc.validate_converted(broken, params)
+    msg = str(ei.value)
+    assert "missing param: coarsens_list_1/gn/scale" in msg
+    assert "extra param not in model: coarsens_list_1/gn/rogue" in msg
+
+
+def test_load_pt_checkpoint_end_to_end(tmp_path):
+    """checkpoint.load routes a real .pt file through the converter with
+    validation (the BASELINE 'from pretrained .pt' path), and a .pt with a
+    key the converter cannot route is a hard, named error."""
+    torch = pytest.importorskip("torch")
+    from temporal_latticenet_tpu.train import checkpoint as ckpt
+
+    cfg = _hostile_cfg()
+    sd, params = _reference_shaped_state_dict(cfg)
+    pt = tmp_path / "ref.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in sd.items()},
+               str(pt))
+    restored = ckpt.load(str(pt), params, cfg=cfg)
+    assert restored["step"] == 0
+    flat_a = jax.tree_util.tree_leaves(restored["params"])
+    flat_b = jax.tree_util.tree_leaves(
+        tc.convert_state_dict(sd, cfg)[0]["params"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    hostile = dict(sd)
+    hostile["surprise_module.weight"] = np.zeros((2, 2), np.float32)
+    pt2 = tmp_path / "hostile.pt"
+    torch.save({k: torch.from_numpy(np.asarray(v))
+                for k, v in hostile.items()}, str(pt2))
+    with pytest.raises(ValueError, match="surprise_module.weight"):
+        ckpt.load(str(pt2), params, cfg=cfg)
