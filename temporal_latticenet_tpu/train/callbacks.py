@@ -119,13 +119,18 @@ class WandBCallback(Callback):
             self.run = None
 
     def after_forward_pass(self, *, phase=None, loss=0.0, loss_dice=0.0,
-                           lr=0.0, grad_norm=None, **kw):
+                           lr=0.0, grad_norm=None, grad_norms=None, **kw):
         if self.wandb and phase is not None and phase.grad:
             log = {"loss": loss, "loss_dice": loss_dice, "lr": lr}
             # gradient observability, the analog of wandb.watch(model)
-            # (reference callbacks/wandb_callback.py:18)
+            # (reference callbacks/wandb_callback.py:18): the global norm
+            # plus -- when engine watch_grads is on -- one norm per
+            # parameter leaf
             if grad_norm is not None:
                 log["grad_norm"] = grad_norm
+            if grad_norms:
+                log.update({f"grad_norm/{k}": float(v)
+                            for k, v in grad_norms.items()})
             self.wandb.log(log)
 
     def epoch_ended(self, *, phase=None, **kw):

@@ -305,7 +305,7 @@ def create_train_state(cfg: ModelConfig, rt: RuntimeConfig, lr: float,
 
 
 def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
-                    ignore_index: int = 0):
+                    ignore_index: int = 0, watch_grads: bool = False):
     # remat: recompute per-frame activations in the BPTT backward.
     # rt.remat_mode="selective" keeps cheap activations and recomputes only
     # the rowified conv neighborhoods.  A/B at flagship LiDAR scale
@@ -361,6 +361,16 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                    "grad_norm": grad_norm,
                    "nr_vertices": jnp.max(aux["nr_vertices"]),
                    "vertex_overflow": jnp.any(aux["vertex_overflow"])}
+        if watch_grads:
+            # per-parameter gradient norms, the full analog of the
+            # reference's wandb.watch(model) (callbacks/wandb_callback.py:
+            # 18).  In-graph sqrt of the per-leaf sums already computed for
+            # grad_norm; fetched as ONE small tree per step (device_get in
+            # the loop), so the tunnel pays one transfer, not one per leaf.
+            flat = jax.tree_util.tree_flatten_with_path(gsq)[0]
+            metrics["grad_norms"] = {
+                "/".join(str(p.key) for p in path): jnp.sqrt(v)
+                for path, v in flat}
         return new_state, logp, metrics
 
     # forward+loss on the SAME stochastic path as train_step (fold_in rng,

@@ -53,10 +53,25 @@ def _prefetch(iterable, depth: int = 2):
         yield item
 
 
-def _sequence_order(n: int, shuffle: bool, rng: np.random.Generator):
+def _sequence_order(n: int, shuffle: bool, rng: np.random.Generator,
+                    shard_by_process: bool = False):
+    """Epoch order of sequence indices; optionally sharded per host.
+
+    Multi-host (multi-process) runs put the dp axis across DCN: every
+    process runs the SAME jitted step over its local devices, and only
+    gradient all-reduce crosses hosts (handled by jax's global mesh).  The
+    data pipeline must therefore feed each process a DISJOINT slice of the
+    epoch: all hosts draw the identical shuffle (same seed), then process i
+    takes indices i::process_count, truncated to the common length so
+    every host runs the same number of steps (a straggler host would
+    deadlock the collective).  Single-process runs are unchanged.
+    """
     order = np.arange(n)
     if shuffle:
         rng.shuffle(order)
+    if shard_by_process and jax.process_count() > 1:
+        per = n // jax.process_count()
+        order = order[jax.process_index()::jax.process_count()][:per]
     return order
 
 
@@ -91,8 +106,11 @@ def run_training(config_file: str, max_steps: int | None = None,
 
     model, state, tx = engine.create_train_state(
         cfg, rt, lr=train_cfg["lr"], weight_decay=train_cfg["weight_decay"])
-    train_step, eval_step = engine.make_train_step(model, cfg, rt, tx,
-                                                   ignore_index)
+    train_step, eval_step = engine.make_train_step(
+        model, cfg, rt, tx, ignore_index,
+        # wandb.watch(model)-equivalent per-parameter gradient norms; only
+        # paid for (one extra small tree fetch/step) when wandb is on
+        watch_grads=bool(train_cfg.get("with_wandb")))
     # device-side argmax: fetching (B,P) int32 predictions instead of the
     # (B,P,nr_classes) float32 log-probs is ~26x less tunnel traffic per
     # window (13.6 MB -> 0.5 MB at 131k points / 26 classes)
@@ -171,7 +189,7 @@ def run_training(config_file: str, max_steps: int | None = None,
             cb.epoch_started(phase=phase)
             order = _sequence_order(len(phase.loader),
                                     phase.grad and loader_cfg.get("shuffle", False),
-                                    rng)
+                                    rng, shard_by_process=phase.grad)
             group = bs if phase.grad else 1
             if phase.grad and len(order) < group:
                 raise ValueError(
@@ -214,6 +232,8 @@ def run_training(config_file: str, max_steps: int | None = None,
                         phase=phase, loss=float(metrics["loss"]),
                         loss_dice=float(metrics.get("lovasz", 0.0)),
                         grad_norm=float(metrics.get("grad_norm", 0.0)),
+                        grad_norms=(jax.device_get(metrics["grad_norms"])
+                                    if "grad_norms" in metrics else None),
                         pred_labels=preds[bi][last.mask],
                         nr_classes=cfg.nr_classes,
                         target=last.labels[last.mask],
