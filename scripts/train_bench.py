@@ -89,12 +89,39 @@ def main():
         state, logp, metrics = train_step(state, batch, 1.0)
         float(metrics["loss"])
         ts.append(time.perf_counter() - t0)
-    dt = min(ts)
+    dt_synced = min(ts)
+
+    # headline protocol (same rationale as bench.py): n optimizer steps
+    # inside ONE jitted loop, so the ~31 ms tunnel dispatch tax (a dev-rig
+    # artifact; a production host dispatches in ~0.1 ms) is amortised.
+    # The carried TrainState changes every iteration (real AdamW updates),
+    # so nothing is hoistable; the final loss is threaded out and fetched.
+    n_loop = args.iters
+
+    @jax.jit
+    def steps_loop(st, b, n):
+        def body(i, carry):
+            st, _ = carry
+            st2, _, mets = train_step(st, b, 1.0)
+            return (st2, mets["loss"])
+        return jax.lax.fori_loop(0, n, body, (st, jnp.float32(0.0)))
+
+    (state, last_loss) = steps_loop(state, batch, jnp.int32(1))
+    float(last_loss)  # compile + warm
+    t0 = time.perf_counter()
+    (state, last_loss) = steps_loop(state, batch, jnp.int32(n_loop))
+    float(last_loss)
+    dt = (time.perf_counter() - t0) / n_loop
+
     print(json.dumps({
         "metric": "semantickitti_4frame_train_step",
         "value": round(4 * args.points / dt, 1),
         "unit": "points/sec/chip",
         "seconds_per_step": dt,
+        "seconds_per_step_synced": dt_synced,
+        "timing_protocol": "on-device fori_loop over iters (one dispatch, "
+                           "amortised); synced = one host round-trip per "
+                           "step (~31 ms tunnel tax each)",
         "compile_seconds": compile_s,
         "remat": args.remat,
         "trim_capacity": trim,

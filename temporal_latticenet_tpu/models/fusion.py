@@ -238,9 +238,18 @@ class AFlowFusion(nn.Module):
 
         h_pad = _pad_hidden(h, prev_count, -999999.0)
         # center-last: tap 9 is the row itself (no gather, cf. lattice_ops.
-        # gather_rowified)
+        # gather_rowified).  The 8 neighbor taps go through the symmetric
+        # gather whose VJP is ANOTHER gather via the +/- tap pairing
+        # (lattice_ops._gather8_sym) -- XLA's default VJP would scatter-add
+        # cap*8 rows (~30 ns/row) into h every frame of the BPTT backward.
+        # Row-0 / padding cotangent garbage is zeroed upstream by the
+        # previous frame's mask_rows VJP, exactly as for the convs.
+        if k == 9:
+            nbr_g = lo._gather8_sym(h_pad, nbr.idx[:, :8])
+        else:
+            nbr_g = h_pad[nbr.idx[:, : k - 1]]
         h_nbr = jnp.concatenate(
-            [h_pad[nbr.idx[:, : k - 1]], h_pad[:, None, :]], axis=1)  # (cap, 9, C)
+            [nbr_g, h_pad[:, None, :]], axis=1)           # (cap, 9, C)
         found = nbr.found.astype(jnp.float32)        # (cap, 9)
 
         dist = jnp.sqrt(jnp.maximum(

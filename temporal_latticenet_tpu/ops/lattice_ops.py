@@ -488,9 +488,50 @@ def _splat_sorted_bwd(res, d_out):
 _splat_sorted.defvjp(_splat_sorted_fwd, _splat_sorted_bwd)
 
 
+@jax.custom_vjp
+def _slice_sorted(coarse_values, corner_idx, corner_bary, src, w, dst,
+                  tailpos, live):
+    g = coarse_values[corner_idx]                         # (Cf, d+1, C)
+    return jnp.einsum("fvc,fv->fc", g, corner_bary)
+
+
+def _slice_sorted_fwd(coarse_values, corner_idx, corner_bary, src, w, dst,
+                      tailpos, live):
+    g = coarse_values[corner_idx]
+    return jnp.einsum("fvc,fv->fc", g, corner_bary), \
+        (corner_bary, src, w, dst, tailpos, live)
+
+
+def _slice_sorted_bwd(res, d_fine):
+    """The slice is linear in coarse_values; its exact transpose is the
+    barycentric splat -- ridden on the link's dst-sorted view (gather +
+    one-pass segmented sum + tail gather) instead of XLA's (Cf*4)-row
+    scatter-add VJP (~30 ns/row, the TPU floor).  Mirror image of
+    ``_splat_sorted_bwd``; differs from the scatter only in f32 summation
+    order.  corner_bary's cotangent is reported zero: barycentric weights
+    derive from point positions, which nothing differentiates."""
+    corner_bary, src, w, dst, tailpos, live = res
+    d_coarse = _splat_sorted_impl(d_fine, src, w, dst, tailpos, live)
+    return (d_coarse, None, jnp.zeros_like(corner_bary), None,
+            jnp.zeros_like(w), None, None, None)
+
+
+_slice_sorted.defvjp(_slice_sorted_fwd, _slice_sorted_bwd)
+
+
 def slice_to_fine(coarse_values: jax.Array, link: LevelLink) -> jax.Array:
     """Barycentric slice of coarse vertex features back onto fine vertices
-    (the transpose of splat_to_coarse)."""
+    (the transpose of splat_to_coarse).
+
+    With an augmented link the BACKWARD uses the dst-sorted splat (see
+    ``_slice_sorted_bwd``); the forward gather is identical either way."""
+    if (link.sorted_src is not None
+            and link.tailpos.shape[0] == coarse_values.shape[0]
+            and 128 % coarse_values.shape[-1] == 0):
+        return _slice_sorted(coarse_values, link.corner_idx,
+                             link.corner_bary, link.sorted_src,
+                             link.sorted_w, link.sorted_dst, link.tailpos,
+                             link.tail_live)
     g = coarse_values[link.corner_idx]                    # (Cf, d+1, C)
     return jnp.einsum("fvc,fv->fc", g, link.corner_bary)
 

@@ -398,13 +398,17 @@ def test_data_parallel_matches_single_device_realistic(rng):
     s2, _, m2 = train_step(state_r, sharded, 1.0)
 
     assert not bool(m1["vertex_overflow"])
-    assert np.isclose(float(m1["loss"]), float(m2["loss"]), atol=1e-6)
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+    # not bit-for-bit: the sharded batch mean becomes per-device partial
+    # means + an all-reduce, whose f32 association differs from the vmap
+    # reduction; AdamW's m/(sqrt(v)+eps) then amplifies the ~1e-7 gradient
+    # noise to ~1e-6 parameter deltas after one step (measured 1.4e-6 max)
     for (p1, a), (p2, b) in zip(
             jax.tree_util.tree_flatten_with_path(s1.params)[0],
             jax.tree_util.tree_flatten_with_path(s2.params)[0]):
         assert p1 == p2
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=1e-6,
+            np.asarray(a), np.asarray(b), atol=2e-5,
             err_msg="/".join(str(p.key) for p in p1))
 
 
