@@ -328,6 +328,22 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
     def batch_loss(params, batch: SeqBatch, rng):
         b = batch.positions.shape[0]
         keys = jax.random.split(rng, b)
+        if b == 1:
+            # vmap-free fast path: at the reference's batch_size=1 the
+            # batched wrapper costs ~0.35 s/step at flagship scale (r4
+            # profile_backward: vmapped fwd+loss 0.504 s vs 0.156 s for
+            # the identical unvmapped inference forward -- the batching
+            # rules of the build's sorts/scatters/Pallas scans lower far
+            # worse than the plain ops).  Outputs are reshaped to the
+            # exact (1, ...) batched structure, and the rng key matches
+            # keys[0] of the vmapped path bit-for-bit.
+            loss, (logp, parts, aux) = loss_one(
+                params, batch.positions[0], batch.values[0],
+                batch.labels[0], batch.mask[0], keys[0])
+            one = jax.tree_util.tree_map(lambda x: jnp.asarray(x)[None],
+                                         (loss, logp, parts, aux))
+            losses, logp, parts, aux = one[0], one[1], one[2], one[3]
+            return jnp.mean(losses), (logp, parts, aux)
         losses, (logp, parts, aux) = jax.vmap(
             loss_one, in_axes=(None, 0, 0, 0, 0, 0))(
                 params, batch.positions, batch.values, batch.labels,
@@ -391,9 +407,19 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
 
     @jax.jit
     def eval_step(params, batch: SeqBatch):
-        losses, (logp, parts, aux) = jax.vmap(
-            loss_one, in_axes=(None, 0, 0, 0, 0))(
-                params, batch.positions, batch.values, batch.labels, batch.mask)
+        if batch.positions.shape[0] == 1:
+            # same vmap-free B=1 fast path as batch_loss
+            loss, (logp, parts, aux) = loss_one(
+                params, batch.positions[0], batch.values[0],
+                batch.labels[0], batch.mask[0])
+            losses, logp, aux = (jnp.asarray(loss)[None], logp[None],
+                                 jax.tree_util.tree_map(
+                                     lambda x: jnp.asarray(x)[None], aux))
+        else:
+            losses, (logp, parts, aux) = jax.vmap(
+                loss_one, in_axes=(None, 0, 0, 0, 0))(
+                    params, batch.positions, batch.values, batch.labels,
+                    batch.mask)
         return logp, {"loss": jnp.mean(losses),
                       "nr_vertices": jnp.max(aux["nr_vertices"]),
                       "vertex_overflow": jnp.any(aux["vertex_overflow"])}
