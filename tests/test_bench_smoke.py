@@ -10,8 +10,7 @@ def test_bench_main_tiny(tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     monkeypatch.setattr(sys, "argv", [
         "bench.py", "--points", "200", "--max-points", "256",
-        "--capacity", "2048", "--frames", "2", "--iters", "1",
-        "--warmup", "0"])
+        "--capacity", "2048", "--frames", "2", "--iters", "1"])
     bench.main()
     out = capsys.readouterr().out.strip().splitlines()[-1]
     result = json.loads(out)
