@@ -27,12 +27,12 @@ def main():
     ap.add_argument("--remat", choices=("full", "selective", "none"),
                     default="selective",
                     help="BPTT remat mode (engine.make_sequence_forward). "
-                         "A/B on the real chip at this scale: full 1.017 "
-                         "s/step, selective 0.939, none 0.911 (no trim); "
-                         "with trim 36864: selective 0.857, none 0.835. "
-                         "selective is the default because it keeps most of "
-                         "the speed while retaining remat headroom for "
-                         "longer windows")
+                         "A/B on the real chip at this scale (r4, vmap-free "
+                         "B=1 path, amortised protocol): selective 0.474 "
+                         "s/step, none 0.456; r3 synced figures were "
+                         "selective 0.857 / none 0.835. selective is the "
+                         "default because it keeps most of the speed while "
+                         "retaining remat headroom for longer windows")
     ap.add_argument("--trim-capacity", type=int, default=-1,
                     help="trimmed-frame level-0 capacity (frames 0..T-2 of "
                     "the BPTT scan run on row prefixes, forward AND "
