@@ -62,8 +62,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# NOTE: enable_compile_cache() is called inside main() AFTER --cpu is
+# parsed: it touches jax.default_backend(), which would pin the platform
+# before the flag could switch it.
 from temporal_latticenet_tpu.utils.compile_cache import enable_compile_cache
-enable_compile_cache()
 
 from temporal_latticenet_tpu.config import ModelConfig, RuntimeConfig
 from temporal_latticenet_tpu.data.lidar_like import lidar_sequence
@@ -169,7 +171,13 @@ def main():
                     "RuntimeConfig.final_capacity_level0). -1 = "
                     "per-generator default (lidar: 40960 = 1.17x the "
                     "measured final-union occupancy 34986); 0 disables")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (budget-guard tests; the "
+                    "sitecustomize pins platforms so env vars cannot)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    enable_compile_cache()
 
     signal.signal(signal.SIGTERM, _on_term)
     signal.signal(signal.SIGINT, _on_term)
