@@ -1,6 +1,10 @@
 """A/B the union mean-table scatter: full-Q set-scatter vs tail-compaction.
 
-MEAN_MODE="table" (ops/seq_lattice.py) scatters ALL Q=2M rows into the
+(Historical r3 measurement on isolated graphs; the losing full-Q "table"
+mode was deleted in r4 -- the surviving table_tails path keeps the
+compacted scatter this A/B selected.)
+
+The full-Q variant scatters ALL Q=2M rows into the
 (T*cap+1, 5) table -- non-tail rows write a junk slot, but scatter cost is
 per SOURCE row.  The alternative compacts the ~T*cap real tail rows to the
 front with one more multi-operand sort (sorts are ~2.6 ms/operand-ish at

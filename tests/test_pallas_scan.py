@@ -79,7 +79,9 @@ def test_sorted_segment_scan_padding():
 
 
 def test_backward_tail_copy_via_reversed_first():
-    """The _seg_copy_tail_rows Pallas recipe: reverse rows, remap run ids
+    """The backward tail-copy Pallas recipe (formerly seq_lattice.
+    _seg_copy_tail_rows, deleted r4 with the losing MEAN_MODEs -- the
+    kernel-level recipe stays covered): reverse rows, remap run ids
     to ``ids[-1] - ids[::-1]`` (nondecreasing, so the kernel's fresh-run
     padding cannot collide), run the "first" scan, reverse back.  Every
     row must receive its run TAIL's value."""
