@@ -424,7 +424,19 @@ def make_train_step(model, cfg: ModelConfig, rt: RuntimeConfig, tx,
                       "nr_vertices": jnp.max(aux["nr_vertices"]),
                       "vertex_overflow": jnp.any(aux["vertex_overflow"])}
 
+    # pre-optimizer gradients on train_step's exact stochastic path: the
+    # probe behind the DP equality tests' tight grad-level check (VERDICT
+    # r4 item 6 -- "grads differ only by reduction order" is asserted on
+    # the grads themselves, not inferred through AdamW's amplification).
+    @jax.jit
+    def grad_step(params, batch: SeqBatch, step):
+        rng = jax.random.fold_in(base_key, step)
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: batch_loss(p, batch, rng), has_aux=True)(params)
+        return loss, grads
+
     train_step.loss_step = loss_step
+    train_step.grad_step = grad_step
     return train_step, eval_step
 
 

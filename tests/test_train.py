@@ -118,6 +118,26 @@ def test_data_parallel_matches_single_device(rng):
     s2, _, m2 = train_step(state_r, sharded, 1.0)
 
     assert np.isclose(float(m1["loss"]), float(m2["loss"]), atol=1e-5)
+    # VERDICT r4 item 6: the tight, PRE-optimizer mechanism check.  The
+    # sharded and single-device grads run the same logical graph, but
+    # sharding the batch axis changes XLA's lowering of the vmap body
+    # (1-wide per device vs 8-wide fused) plus the all-reduce's summation
+    # order, so elements differ by a few ULPs of the INTERMEDIATE
+    # magnitudes: measured max 4.8e-7 absolute against grad scales ~1e-2.
+    # The bound is 2e-6 absolute -- 4x the measured noise, ~25x tighter
+    # than the post-AdamW param bound below, and catching any real
+    # divergence (grad updates are ~1e-3).
+    _, g1 = train_step.grad_step(state0.params, batch, state0.step)
+    _, g2 = train_step.grad_step(pmesh.replicate(m, state0.params), sharded,
+                                 state0.step)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0]):
+        assert p1 == p2
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() <= max(2e-6, 1e-6 * scale), \
+            "/".join(str(p.key) for p in p1)
     # parameters after one AdamW step: the sharded batch-mean's f32
     # association differs from the vmap reduction, and adam's
     # m/(sqrt(v)+eps) amplifies the ~1e-7 gradient noise to ~1e-5 updates
@@ -190,6 +210,19 @@ def test_data_parallel_flagship_channels(rng):
     for a, b in zip(jax.tree_util.tree_leaves(s1.params),
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    # tight pre-optimizer grad check at flagship widths (VERDICT r4 item 6;
+    # bound rationale in test_data_parallel_matches_single_device)
+    _, g1 = train_step.grad_step(state0.params, batch, state0.step)
+    _, g2 = train_step.grad_step(pmesh.replicate(m, state0.params), sharded,
+                                 state0.step)
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_flatten_with_path(g1)[0],
+            jax.tree_util.tree_flatten_with_path(g2)[0]):
+        assert p1 == p2
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(a).max(), 1e-12)
+        assert np.abs(a - b).max() <= max(2e-6, 1e-6 * scale), \
+            "/".join(str(p.key) for p in p1)
 
 
 @pytest.mark.slow
@@ -350,6 +383,38 @@ def test_batched_pointnet_matches_per_frame(rng):
     logp_on, _, _ = fwd_on(state0.params, P, V, M)
     np.testing.assert_allclose(np.asarray(logp_on), np.asarray(logp_off),
                                atol=1e-5)
+
+
+def test_b1_fast_path_matches_vmapped(rng):
+    """ADVICE r4: the vmap-free B=1 fast path (behind the headline train
+    figure and every b=1 test) must equal the vmapped path.  Duplicating a
+    b=1 sample to b=2 routes the same sample through the vmapped branch
+    with the identical rng (sample 0 gets keys[0] on both paths), so
+    logp[0] and the per-sample loss must agree to numerical noise."""
+    cfg = tiny_cfg(rnn_modules=("gru", "none", "none", "none"),
+                   frames_per_seq=2)
+    rt = RuntimeConfig(max_points=64, capacity_level0=512,
+                       capacity_decay=1.0, min_capacity=256, sigma=0.6)
+    model, state, tx = engine.create_train_state(cfg, rt, 1e-3, 1e-3)
+    train_step, eval_step = engine.make_train_step(model, cfg, rt, tx)
+
+    b1 = _batch(rng, b=1, t=2, n=40, p=64)
+    dup = engine.SeqBatch(*[jnp.concatenate([x, x], axis=0) for x in
+                            (b1.positions, b1.values, b1.labels, b1.mask)])
+
+    # deterministic eval path
+    logp1, met1 = eval_step(state.params, b1)
+    logp2, met2 = eval_step(state.params, dup)
+    np.testing.assert_allclose(np.asarray(logp1[0]), np.asarray(logp2[0]),
+                               atol=1e-6)
+    assert np.isclose(float(met1["loss"]), float(met2["loss"]), atol=1e-6)
+
+    # stochastic train path (dropout keyed per sample): sample 0 of the
+    # duplicated batch consumes keys[0], exactly the key the b=1 path uses
+    logp1t, m1t = train_step.loss_step(state.params, b1, state.step)
+    logp2t, m2t = train_step.loss_step(state.params, dup, state.step)
+    np.testing.assert_allclose(np.asarray(logp1t[0]), np.asarray(logp2t[0]),
+                               atol=1e-6)
 
 
 def test_remat_modes_same_grads(rng):
