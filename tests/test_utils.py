@@ -157,6 +157,57 @@ def test_evaluate_semantics_pipeline(tmp_path):
     assert np.isclose(avg, avg3)
 
 
+def test_submission_validator(tmp_path):
+    """--validate (validate_submission.py analog): flags missing, mis-sized
+    and extra prediction files; passes on a complete layout."""
+    import evaluate_semantics
+    rng = np.random.default_rng(0)
+    seq_dir = tmp_path / "data" / "sequences" / "08"
+    (seq_dir / "velodyne").mkdir(parents=True)
+    pred_dir = tmp_path / "preds" / "sequences" / "08" / "predictions"
+    pred_dir.mkdir(parents=True)
+
+    counts = [120, 150, 90]
+    for s, n in enumerate(counts):
+        rng.normal(size=(n, 4)).astype(np.float32).tofile(
+            seq_dir / "velodyne" / f"{s:06d}.bin")
+    # scan 0 ok; scan 1 mis-sized; scan 2 missing; scan 9 extra
+    np.zeros(counts[0], np.uint32).tofile(pred_dir / "000000.label")
+    np.zeros(counts[1] - 5, np.uint32).tofile(pred_dir / "000001.label")
+    np.zeros(10, np.uint32).tofile(pred_dir / "000009.label")
+
+    rep = evaluate_semantics.validate(str(tmp_path / "data"),
+                                      str(tmp_path / "preds"), split="valid")
+    assert not rep["ok"]
+    assert rep["scans_expected"] == 3
+    assert len(rep["missing"]) == 1 and "000002" in rep["missing"][0]
+    assert len(rep["mis_sized"]) == 1 and "000001" in rep["mis_sized"][0]
+    assert len(rep["extra"]) == 1 and "000009" in rep["extra"][0]
+
+    # repair -> ok
+    np.zeros(counts[1], np.uint32).tofile(pred_dir / "000001.label")
+    np.zeros(counts[2], np.uint32).tofile(pred_dir / "000002.label")
+    (pred_dir / "000009.label").unlink()
+    rep = evaluate_semantics.validate(str(tmp_path / "data"),
+                                      str(tmp_path / "preds"), split="valid")
+    assert rep["ok"]
+
+    # an empty dataset dir must fail, not vacuously pass
+    rep = evaluate_semantics.validate(str(tmp_path / "nodata"),
+                                      str(tmp_path / "preds"), split="valid")
+    assert not rep["ok"] and rep["scans_expected"] == 0
+
+    # labels-dir fallback (fixtures without velodyne) still enumerates scans
+    import shutil
+    (seq_dir / "labels").mkdir()
+    for s, n in enumerate(counts):
+        np.zeros(n, np.uint32).tofile(seq_dir / "labels" / f"{s:06d}.label")
+    shutil.rmtree(seq_dir / "velodyne")
+    rep = evaluate_semantics.validate(str(tmp_path / "data"),
+                                      str(tmp_path / "preds"), split="valid")
+    assert rep["ok"] and rep["scans_expected"] == 3
+
+
 def test_autotune_capacities():
     """autotune returns lane-rounded capacities with headroom that admit the
     measured occupancy, and rejects a saturated probe."""
