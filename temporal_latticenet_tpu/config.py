@@ -236,6 +236,17 @@ class ModelConfig:
     # matmul/gather precision of the lattice convolutions (f32 accumulate);
     # bfloat16 halves the dominant neighborhood-gather traffic on TPU
     compute_dtype: str = "bfloat16"
+    # Reference bary-argmax quirk (discovered r5 by executing the
+    # reference's own PointNetSeqModule, lattice_modules.py:513-514): its
+    # out-of-bounds workaround compares the argmax ROW indices (absolute,
+    # up to Q = 4*points) against the VERTEX count n, so every vertex
+    # whose winning row index exceeds n reads bary[0] instead of its
+    # argmax bary -- on real clouds (Q >> n) that is most vertices.  Our
+    # default keeps the intended semantics (the true argmax bary); enable
+    # this for bit-faithful evaluation of reference-trained checkpoints.
+    # Only the f32 pointnet path implements it (compute_dtype "float32",
+    # batched_pointnet off); enforced in models/pointnet.py.
+    reference_bary_quirk: bool = False
 
     def __post_init__(self):
         if self.experiment not in VALID_EXPERIMENTS:

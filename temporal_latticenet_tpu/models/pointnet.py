@@ -141,13 +141,24 @@ class PointNetSeq(nn.Module):
             if x.dtype == jnp.bfloat16:
                 # one-pass packed max: value bits + winning bary ride the
                 # same uint32 scatter (see segment_max_with_bary_packed)
+                assert not cfg.reference_bary_quirk, (
+                    "reference_bary_quirk needs the f32 argmax path "
+                    "(compute_dtype='float32')")
                 mx, bary_sel = seg.segment_max_with_bary_packed(
                     x, dist.row_bary, rid, cap, rvalid)
             else:
                 mx, arg = seg.segment_max_with_argmax(x, rid, cap, rvalid)
                 mx = mx.astype(jnp.float32)
-                bary_sel = jnp.where(arg >= 0,
-                                     dist.row_bary[jnp.maximum(arg, 0)], 0.0)
+                if cfg.reference_bary_quirk:
+                    # faithful reproduction of lattice_modules.py:513-524:
+                    # argmax entries whose absolute row index exceeds the
+                    # vertex count n (or the empty sentinel) read bary[0]
+                    argc = jnp.where((arg >= 0) & (arg <= count), arg, 0)
+                    bary_sel = dist.row_bary[argc]
+                else:
+                    bary_sel = jnp.where(arg >= 0,
+                                         dist.row_bary[jnp.maximum(arg, 0)],
+                                         0.0)
             reduced = jnp.concatenate([mx, bary_sel], axis=-1)
             is_early_maxpool = (cfg.sequence_learning
                                 and cfg.rnn_modules[0] == "maxpool")
