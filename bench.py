@@ -75,9 +75,12 @@ from temporal_latticenet_tpu.train.engine import make_sequence_forward
 
 REFERENCE_A100_POINTS_PER_SEC_ESTIMATE = 2.4e6
 
-# best-available state shared with the watchdog/signal handlers
+# best-available state shared with the watchdog/signal handlers.
+# RLock: a SIGTERM landing while the main thread is inside _emit() runs the
+# handler on that same thread -- a plain Lock would deadlock until the
+# watchdog budget expired (ADVICE r4).
 _best = {"result": None, "details": None, "emitted": False}
-_emit_lock = threading.Lock()
+_emit_lock = threading.RLock()
 
 
 def _emit(final: bool = False) -> bool:
@@ -113,9 +116,11 @@ def _remaining() -> float:
 
 
 def _on_term(signum, frame):
-    _emit()
+    # mirror _watchdog: rc 3 when nothing was measured yet, so a SIGTERM
+    # before the first measurement cannot masquerade as a successful run
+    emitted = _emit()
     sys.stdout.flush()
-    os._exit(0)
+    os._exit(0 if emitted else 3)
 
 
 def _baseline_bounds():
@@ -340,21 +345,37 @@ def main():
 
         # budget guard: shrink the iteration count (traced operand -- free) so
         # the timed run fits in what's left, with 30 s of slack for teardown.
-        n_loop = args.iters
-        if _remaining() < n_loop * dt_single + 30.0:
-            n_loop = max(1, int((_remaining() - 30.0) / max(dt_single, 1e-3)))
+        # VERDICT r4 item 8: repeat the timed loop >=3x (graph already
+        # compiled, each rep is n_loop sequences) and report the MEDIAN as
+        # the headline plus min/max spread -- the builder's own figures vary
+        # ~2.5% run to run, so a single draw cannot distinguish plateau from
+        # progress round-over-round.
+        n_loop, n_reps = args.iters, 3
+        if _remaining() < n_reps * n_loop * dt_single + 30.0:
+            n_loop = max(1, int((_remaining() - 30.0)
+                                / (n_reps * max(dt_single, 1e-3))))
             print(f"WARNING: budget nearly spent after compile "
                   f"({_remaining():.0f} s left); shrinking timed loop to "
                   f"{n_loop} iters", file=sys.stderr)
 
-        t0 = time.perf_counter()
-        float(fwd_loop(params, positions, values, mask, jnp.int32(n_loop))[0])
-        # the single dispatch round-trip stays included, amortised over iters
-        dt = (time.perf_counter() - t0) / n_loop
-
-        _best["result"], _best["details"] = _pack(
-            dt, "on-device fori_loop over iters (one host dispatch, amortised)",
-            {"iters": n_loop, "seconds_per_sequence_single": dt_single})
+        rep_dts = []
+        for rep in range(n_reps):
+            t0 = time.perf_counter()
+            float(fwd_loop(params, positions, values, mask,
+                           jnp.int32(n_loop))[0])
+            # the dispatch round-trip stays included, amortised over iters
+            rep_dts.append((time.perf_counter() - t0) / n_loop)
+            dt = float(np.median(rep_dts))
+            _best["result"], _best["details"] = _pack(
+                dt, "on-device fori_loop over iters (one host dispatch, "
+                "amortised; median of reps)",
+                {"iters": n_loop, "reps": rep + 1,
+                 "seconds_per_sequence_reps": rep_dts,
+                 "seconds_per_sequence_min": min(rep_dts),
+                 "seconds_per_sequence_max": max(rep_dts),
+                 "seconds_per_sequence_single": dt_single})
+            if _remaining() < n_loop * dt + 15.0:
+                break
         _emit()  # headline out NOW; everything past this point is optional
 
         # ---- optional extras: baseline bounds + secondary protocols ----

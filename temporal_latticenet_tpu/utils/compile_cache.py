@@ -62,7 +62,11 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
         path = f"{path}_cpu-{_machine_tag()}"
         # the AOT loader logs a false-positive feature-mismatch ERROR per
         # cached entry (XLA pseudo-features never appear in raw CPUID
-        # flags); C++ log init is lazy, so this works post-import
+        # flags).  NOTE (ADVICE r4): on this box jax is pre-imported by an
+        # axon sitecustomize, so C++ logging is already initialized and
+        # this setdefault is too late to suppress the line -- it only works
+        # when exported in the shell BEFORE the interpreter starts.  Kept
+        # for environments without the pre-import; the log line is cosmetic.
         os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
