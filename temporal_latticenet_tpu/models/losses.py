@@ -63,17 +63,25 @@ def lovasz_softmax(logp: jax.Array, targets: jax.Array, mask: jax.Array,
     def per_class(c):
         fg = (targets == c).astype(logp.dtype) * vf
         errors = jnp.abs(fg - probs[:, c]) * vf
-        # masked entries have error 0 and sort last (descending)
-        # NOTE (r3, scripts/profile_loss.py): a permutation-gather VJP for
-        # errors[order] (inv=argsort(order), backward dg[inv]) was A/B'd
-        # 16.7 ms SLOWER at (131072, 26) than the default scatter VJP --
-        # the 26 vmapped 1-channel scatters batch well on TPU and cost less
-        # than the extra 26xP argsort.  Keep the plain gather.
-        order = jnp.argsort(-errors)
-        errors_s = errors[order]
-        fg_s = fg[order]  # no grad path (targets/mask are constants)
-        grad = _lovasz_grad(fg_s)
-        loss_c = jnp.sum(errors_s * grad)
+        # masked entries have error 0 and sort last (descending).
+        # Sort-only formulation (r5, from the train-step xplane trace): the
+        # r3/r4 version gathered errors[order] and fg[order] -- at (26,
+        # 131072) those lower to 3.4M SCALAR-row gathers costing ~35 ms
+        # EACH per step, plus a ~24 ms scatter VJP (~93 ms total, the bulk
+        # of the fwd+loss floor).  Instead the operands RIDE the sort
+        # (multi-operand sorts are ~4 ms at this shape, CLAUDE.md), and the
+        # detached Lovasz gradient is UNSORTED by a second sort keyed on
+        # the carried original indices.  Value is identical (a dot product
+        # is permutation-invariant): sum(errors_s * grad) == sum(errors *
+        # w) with w = grad unsorted.  Gradient is identical to the
+        # reference's torch.dot(errors_sorted, Variable(grad)): d/d
+        # errors[j] = grad[position of j] = w[j], the permutation treated
+        # as constant (lovasz_losses.py detaches grad).
+        iota = jnp.arange(errors.shape[0], dtype=jnp.int32)
+        _, fg_s, order = jax.lax.sort((-errors, fg, iota), num_keys=1)
+        grad = _lovasz_grad(fg_s)           # constants only -- no grad path
+        _, w = jax.lax.sort((order, grad), num_keys=1)
+        loss_c = jnp.sum(errors * jax.lax.stop_gradient(w))
         present = jnp.sum(fg) > 0
         return loss_c, present
 
