@@ -257,11 +257,17 @@ def _gather8_sym_fwd(values, idx8):
 
 
 def _gather8_sym_bwd(idx8, dg):
-    acc = jnp.zeros((idx8.shape[0], dg.shape[-1]), jnp.float32)
-    for k in range(8):
-        m = idx8[:, _PAIR_3D[k]]
-        acc = acc + jnp.where((m > 0)[:, None],
-                              dg[m, k, :].astype(jnp.float32), 0.0)
+    # ONE flat gather over the (C*8, Cin) view at indices inv*8 + tap
+    # instead of 8 per-tap gathers (r5 xplane trace: the per-tap form cost
+    # 0.7-0.9 ms EACH at (36864, 8, 64) -- 8 latency-bound passes per conv
+    # backward, ~4x the forward's single fused 8-tap gather; the flat form
+    # is that same single-gather shape)
+    cap, _, cin = dg.shape
+    inv = idx8[:, list(_PAIR_3D)]                            # (C, 8)
+    fi = inv * 8 + jnp.arange(8, dtype=idx8.dtype)[None, :]
+    g = dg.reshape(cap * 8, cin)[fi]                         # (C, 8, Cin)
+    acc = jnp.sum(jnp.where((inv > 0)[..., None],
+                            g.astype(jnp.float32), 0.0), axis=1)
     return acc.astype(dg.dtype), None
 
 
