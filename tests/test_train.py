@@ -527,3 +527,63 @@ def test_watch_grads_per_parameter_norms(rng):
     total = np.sqrt(sum(float(v) ** 2 for v in norms.values()))
     assert np.isclose(total, float(metrics["grad_norm"]), rtol=1e-5)
     assert any(v > 0 for v in norms.values())
+
+
+@pytest.mark.slow
+def test_long_window_frames8_offline_matches_streaming(rng):
+    """VERDICT r4 item 5 (long-window capability): at frames=8 the offline
+    whole-sequence forward (birth-tagged union build + scan BPTT path,
+    with AND without trimmed-frame prefixes) must match the streaming
+    per-frame path.  The reference's window machinery accepts arbitrary
+    frames_per_seq (kitti_dataloader.py:100); everything else in the suite
+    runs frames<=4, where trim capacities and the scan never bite at
+    depth."""
+    import dataclasses
+    from tests.test_model import _frames, tiny_cfg
+
+    t = 8
+    cfg = tiny_cfg(rnn_modules=("gru", "gru", "aflow", "gru"),
+                   frames_per_seq=t)
+    rt = RuntimeConfig(max_points=128, capacity_level0=4096,
+                       capacity_decay=1.0, min_capacity=1024, sigma=0.6)
+    model, state0, _ = engine.create_train_state(cfg, rt, 1e-3, 0.0)
+    frames = _frames(rng, t=t)
+
+    new_state, step, final = engine.make_streaming_inference(model, cfg, rt)
+    s = new_state()
+    for f in frames[:-1]:
+        s = step(state0.params, *f, s)
+    logp_stream, sv, s, aux = final(state0.params, *frames[-1], s)
+    assert int(s.t) == t
+
+    P = jnp.stack([f[0] for f in frames])
+    V = jnp.stack([f[1] for f in frames])
+    M = jnp.stack([f[2] for f in frames])
+    seq_fwd = engine.make_sequence_forward(model, cfg, rt, precompute=True)
+    logp_off, _, aux_off = seq_fwd(state0.params, P, V, M)
+    valid = np.asarray(M[-1])
+    np.testing.assert_allclose(np.asarray(logp_stream)[valid],
+                               np.asarray(logp_off)[valid], atol=2e-3)
+
+    # trimmed-frame path at depth: frames 0..6 run on row prefixes
+    rt_trim = dataclasses.replace(rt, trim_capacity_level0=3072,
+                                  final_capacity_level0=3584)
+    model_t = engine.LNNSeq(cfg, rt_trim)
+    fwd_trim = engine.make_sequence_forward(model_t, cfg, rt_trim,
+                                            precompute=True)
+    logp_trim, _, aux_t = fwd_trim(state0.params, P, V, M)
+    assert not bool(aux_t["trim_overflow"])
+    np.testing.assert_allclose(np.asarray(logp_trim)[valid],
+                               np.asarray(logp_off)[valid], atol=1e-4)
+
+    # the BPTT machinery compiles and produces finite grads at depth 8
+    tx = engine.optim.make_optimizer(1e-3, 1e-3)
+    train_step, _ = engine.make_train_step(model_t, cfg, rt_trim, tx)
+    batch = engine.SeqBatch(P[None], V[None],
+                            jnp.zeros((1, t, 128), jnp.int32)
+                            .at[:, :, :100].set(1), M[None])
+    st = engine.TrainState(state0.params, tx.init(state0.params["params"]),
+                           jnp.int32(0))
+    st, _, metrics = train_step(st, batch, 1.0)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
