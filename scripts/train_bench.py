@@ -1,5 +1,5 @@
 """Training-step throughput at SemanticKITTI scale (forward + BPTT backward
-+ AdamW update for a full 4-frame sequence)."""
++ AdamW update for a full sequence; --frames for longer windows)."""
 
 import argparse
 import json
@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--generator", choices=("lidar", "synthetic"),
                     default="lidar")
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--frames", type=int, default=4,
+                    help="sequence length (frames_per_seq); longer windows "
+                    "need --capacity/--trim-capacity/--final-capacity sized "
+                    "to the deeper union (scripts/occupancy.py)")
     ap.add_argument("--remat", choices=("full", "selective", "none"),
                     default="selective",
                     help="BPTT remat mode (engine.make_sequence_forward). "
@@ -64,16 +68,17 @@ def main():
                        trim_capacity_level0=trim,
                        final_capacity_level0=ftrim)
     cfg = ModelConfig(nr_classes=26, rnn_modules=("gru", "gru", "aflow", "gru"),
-                      frames_per_seq=4)
+                      frames_per_seq=args.frames)
 
     model, state, tx = engine.create_train_state(cfg, rt, 1e-3, 1e-3)
     train_step, _ = engine.make_train_step(model, cfg, rt, tx)
 
     rng = np.random.default_rng(0)
     if args.generator == "lidar":
-        p, v, l, m = lidar_sequence(rng, 4, rt.max_points)
+        p, v, l, m = lidar_sequence(rng, args.frames, rt.max_points)
     else:
-        p, v, l, m = synthetic_sequence(rng, 4, args.points, rt.max_points)
+        p, v, l, m = synthetic_sequence(rng, args.frames, args.points,
+                                        rt.max_points)
     batch = engine.SeqBatch(jnp.asarray(p)[None], jnp.asarray(v)[None],
                             jnp.asarray(l)[None], jnp.asarray(m)[None])
 
@@ -114,8 +119,8 @@ def main():
     dt = (time.perf_counter() - t0) / n_loop
 
     print(json.dumps({
-        "metric": "semantickitti_4frame_train_step",
-        "value": round(4 * args.points / dt, 1),
+        "metric": f"semantickitti_{args.frames}frame_train_step",
+        "value": round(args.frames * args.points / dt, 1),
         "unit": "points/sec/chip",
         "seconds_per_step": dt,
         "seconds_per_step_synced": dt_synced,
