@@ -31,12 +31,14 @@ def main():
     ap.add_argument("--remat", choices=("full", "selective", "none"),
                     default="selective",
                     help="BPTT remat mode (engine.make_sequence_forward). "
-                         "A/B on the real chip at this scale (r4, vmap-free "
-                         "B=1 path, amortised protocol): selective 0.474 "
-                         "s/step, none 0.456; r3 synced figures were "
-                         "selective 0.857 / none 0.835. selective is the "
-                         "default because it keeps most of the speed while "
-                         "retaining remat headroom for longer windows")
+                         "A/B on the real chip at this scale (r5, sort-only "
+                         "Lovasz + flat sym-gather backward, amortised/"
+                         "synced): none 0.315/0.350 s/step, selective "
+                         "0.335/0.378. At frames=8 only FULL fits the "
+                         "15.75 GB HBM (none wants 23.1 GB, selective "
+                         "24.5); selective stays the default as the "
+                         "middle ground, use --remat none for frames<=4 "
+                         "peak throughput")
     ap.add_argument("--trim-capacity", type=int, default=-1,
                     help="trimmed-frame level-0 capacity (frames 0..T-2 of "
                     "the BPTT scan run on row prefixes, forward AND "
