@@ -357,6 +357,27 @@ def run_eval(config_file: str, split: str = "test", max_seqs: int | None = None,
         if max_seqs is not None and seq_i + 1 >= max_seqs:
             break
 
+    if (write_preds and max_seqs is None
+            and parser._dataset_name() != "parislille"):
+        # submission completeness report (the reference pipeline's
+        # validate_submission.py step, test_ln.py:234-248) -- informative,
+        # not fatal: window clamping at sequence starts can legitimately
+        # leave the first frames_per_seq-1 scans without predictions
+        try:
+            try:
+                import evaluate_semantics as _es   # repo root on sys.path
+            except ImportError:
+                import importlib.util as _ilu
+                spec = _ilu.spec_from_file_location(
+                    "evaluate_semantics",
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "..", "..", "evaluate_semantics.py"))
+                _es = _ilu.module_from_spec(spec)
+                spec.loader.exec_module(_es)
+            _es.validate(loader_cfg["dataset_path"], out_root, split=split)
+        except Exception as e:  # validation is reporting, never fatal here
+            print(f"submission validation skipped: {e!r}")
+
     mean_iou = phase.scores.avg_class_iou()
     cb.epoch_ended(phase=phase)
     return mean_iou, phase

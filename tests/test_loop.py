@@ -312,3 +312,23 @@ def test_run_training_batch_data_parallel(tiny_world):
     import numpy as np
     for leaf in __import__("jax").tree_util.tree_leaves(state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_run_eval_reports_submission_validation(tiny_world, capsys):
+    """run_eval on a FULL split (max_seqs=None) with prediction writing
+    runs the submission-completeness validator (the reference pipeline's
+    validate_submission.py step) and prints its report -- informative,
+    never fatal (window clamping can leave early scans without files)."""
+    tmp_path, cfg_path = tiny_world
+    from temporal_latticenet_tpu.config import (cfgParser,
+                                                model_config_from_cfg,
+                                                nr_classes_from_cfg,
+                                                runtime_config_from_cfg)
+    parser = cfgParser(cfg_path)
+    cfg = model_config_from_cfg(parser, nr_classes_from_cfg(parser))
+    rt = runtime_config_from_cfg(parser)
+    eval_sets = _patch_lengths(tloop.make_datasets(parser, cfg, rt,
+                                                   splits=("valid",)))
+    miou, phase = tloop.run_eval(cfg_path, split="valid", datasets=eval_sets)
+    out = capsys.readouterr().out
+    assert "validation" in out.lower()
