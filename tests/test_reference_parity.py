@@ -647,3 +647,35 @@ def test_bary_quirk_is_material(ref_mod, cpu_as_cuda, cpu_cuda_tensors):
         ModelConfig(reference_bary_quirk=False, **base), params, frames)[0]
     v = frames[0]["count"]
     assert np.abs(out_quirk[1:v] - out_clean[1:v]).max() > 1e-3
+
+
+def test_reference_splat_branch_is_dead_code(ref_mod, cpu_as_cuda,
+                                             cpu_cuda_tensors):
+    """Executing the author's lines proves the "splat" ablation's
+    scatter_mean (lattice_modules.py:484-485) is DEAD CODE: the following
+    ``if attention_pool ... else`` (:486,511) unconditionally overwrites
+    ``distributed_reduced`` with the scatter-max + bary-concat path, so
+    experiment="splat" computes exactly what "pointnet_no_elevate" does.
+    Our implementation keeps the INTENDED mean-splat semantics
+    (PARITY.md deviation entry)."""
+    frames = _lattice_schedule(21, (150,), AF_CAP, scale=0.8)
+
+    outs = {}
+    for exp in ("splat", "pointnet_no_elevate"):
+        torch.manual_seed(33)
+        m = ref_mod.PointNetSeqModule([16, 32], 24, exp,
+                                      ["gru", "gru", "aflow", "gru"],
+                                      sequence_learning=False)
+        with torch.no_grad():
+            fr = frames[0]
+            distributed = np.concatenate(
+                [np.asarray(fr["dist"].row_rel_pos), fr["values_rows"],
+                 np.asarray(fr["dist"].row_bary)[:, None]],
+                axis=1).astype(np.float32)
+            indices = torch.from_numpy(
+                np.asarray(fr["dist"].row_vertex).astype(np.int64))
+            ls = _NbrLsStub(fr["idx"], fr["found"])
+            out, _ = m(ls, torch.from_numpy(distributed), indices)
+        outs[exp] = out.numpy()
+
+    np.testing.assert_array_equal(outs["splat"], outs["pointnet_no_elevate"])
