@@ -38,6 +38,17 @@ import jax.numpy as jnp
 INT_MIN = -0x80000000
 
 
+def _unpacked_maxscan() -> bool:
+    """r5 default: run the c<=64 segmented max on the native (tile, C)
+    kernel, trading half the VPU lane occupancy for ZERO host-side layout
+    copies/reshapes.  The xplane trace showed the packed path's "free"
+    (Q,C)<->(Q/2,2C) reshapes are PHYSICAL under TPU tiling; A/B at bench
+    scale: unpacked 0.15173 s/seq vs packed 0.15287 (median of 3 each,
+    spread 0.1%).  TLN_MAXSCAN_PACKED=1 restores the packed path."""
+    import os
+    return os.environ.get("TLN_MAXSCAN_PACKED", "0") != "1"
+
+
 def pltpu_roll(x, shift):
     """Shift rows DOWN by ``shift`` along axis 0 (circular; callers mask
     the wrapped rows).  Uses the TPU sublane rotate when available."""
@@ -58,8 +69,14 @@ def pltpu_roll_lanes(x, shift):
 
 
 def _seg_max_kernel(hc_ref, x_ref, out_ref, carry_ref, prev_hc_ref,
-                    tile: int):
-    """Generic path: Hillis-Steele straight down the sublanes."""
+                    tile: int, window: int | None = None):
+    """Generic path: Hillis-Steele straight down the sublanes.
+
+    ``window`` (in PACKED-row units, matching the packed kernel's
+    parameter) caps the doubling at 2*window ORIGINAL rows: every row then
+    covers at least its last 2*window same-run rows -- a strictly stronger
+    guarantee than the packed kernel's (whose LO rows cover 2*window-1),
+    so the two-level chunk-summary correction (segment.py) stays valid."""
     from jax.experimental import pallas as pl
 
     i = pl.program_id(0)
@@ -73,8 +90,9 @@ def _seg_max_kernel(hc_ref, x_ref, out_ref, carry_ref, prev_hc_ref,
     hc = hc_ref[:]                                # (tile, 1) int32 run ids
 
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (tile, 1), 0)
+    limit = tile if window is None else min(2 * window, tile)
     step = 1
-    while step < tile:
+    while step < limit:
         x_up = pltpu_roll(x, step)
         hc_up = pltpu_roll(hc, step)
         same = (hc_up == hc) & (rows_i >= step)
@@ -183,8 +201,12 @@ def sorted_segment_max_i32(head_count: jax.Array, x: jax.Array,
                                       interpret, max_window)[:q]
 
     hc = head_count.astype(jnp.int32)
-    if c <= 64:
-        # lane-packed variant: pack row pairs host-side (free reshape)
+    if c <= 64 and not _unpacked_maxscan():
+        # lane-packed variant: pack row pairs host-side.  NOTE (r5 xplane
+        # trace): the "free" host-side (Q,C)<->(Q/2,2C) reshapes are
+        # PHYSICAL under TPU tiling and cost ~7 ms/seq in copies at bench
+        # scale; TLN_MAXSCAN_UNPACKED=1 A/Bs the (tile, C) native kernel
+        # (half VPU lane occupancy, zero layout plumbing)
         half = tile // 2
         q2 = q // 2
         out = pl.pallas_call(
@@ -206,9 +228,8 @@ def sorted_segment_max_i32(head_count: jax.Array, x: jax.Array,
         )(hc.reshape(q2, 2), x.reshape(q2, 2 * c))
         return out.reshape(q, c)
 
-    assert max_window is None, "max_window needs the lane-packed path"
     out = pl.pallas_call(
-        functools.partial(_seg_max_kernel, tile=tile),
+        functools.partial(_seg_max_kernel, tile=tile, window=max_window),
         grid=(q // tile,),
         in_specs=[
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
