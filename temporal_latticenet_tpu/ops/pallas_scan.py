@@ -191,6 +191,9 @@ def sorted_segment_max_i32(head_count: jax.Array, x: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
 
     q, c = x.shape
+    # NOTE (r5): tile=4096 on the unpacked path exceeds the 16 MB scoped
+    # VMEM at bench scale (Mosaic reports 18.4 MB with the per-pass temps);
+    # 2048 stands.
     if q % tile != 0:
         pad = tile - q % tile
         big = head_count[-1] + jnp.arange(1, pad + 1, dtype=jnp.int32)
